@@ -1,0 +1,118 @@
+"""Benchmark: MAE ViT-B (medium) pretrain train-step throughput on FLAIR-HUB.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+The reference publishes no throughput numbers (BASELINE.md), so
+``vs_baseline`` reports model FLOPs utilization (MFU) relative to the 45%
+north-star target on this chip (BASELINE.json): vs_baseline = MFU / 0.45.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+# bf16 peak FLOP/s per chip
+PEAK_FLOPS = {
+    "v5 lite": 197e12,  # v5e
+    "v5e": 197e12,
+    "v5p": 459e12,
+    "v4": 275e12,
+    "v6 lite": 918e12,  # v6e (Trillium)
+    "v6e": 918e12,
+}
+
+BATCH_SIZE = 32
+WARMUP_STEPS = 3
+BENCH_STEPS = 10
+
+
+def peak_flops_for(device) -> float:
+    kind = getattr(device, "device_kind", "").lower()
+    for key, val in PEAK_FLOPS.items():
+        if key in kind:
+            return val
+    return 197e12  # assume v5e
+
+
+def main() -> None:
+    from maestro_tpu.conf import (
+        DatasetsConfig,
+        MaskConfig,
+        ModelConfig,
+        OptPretrainConfig,
+    )
+    from maestro_tpu.models.mae import build_model
+    from maestro_tpu.train.optim import make_optimizer
+    from maestro_tpu.train.state import TrainState
+    from maestro_tpu.train.steps import make_pretrain_step
+    from maestro_tpu.utils.testing import make_synthetic_batch
+
+    datasets = DatasetsConfig(name_dataset="flair")
+    model, plan = build_model(
+        datasets, MaskConfig(),
+        ModelConfig(model_size="medium", fusion_mode="group", inter_depth=3),
+    )
+    batch = {
+        k: jax.device_put(jnp.asarray(v))
+        for k, v in make_synthetic_batch(datasets.dataset, BATCH_SIZE).items()
+    }
+    key = jax.random.PRNGKey(0)
+    init_key = {"params": key, "mask": key}
+    params = jax.jit(
+        lambda b: model.init(init_key, b, "pretrain"),
+    )(batch)
+
+    opt = OptPretrainConfig(batch_size=BATCH_SIZE)
+    tx = make_optimizer(opt, "pretrain", total_steps=1000, params=params)
+    state = TrainState.create(params, tx)
+    step = make_pretrain_step(model, plan, tx, "l1_norm", donate=True)
+
+    # compile + FLOP count
+    lowered = None
+    try:
+        lowered = step.lower(state, batch, key).compile()
+        flops_per_step = lowered.cost_analysis().get("flops", 0.0)
+    except Exception:
+        flops_per_step = 0.0
+
+    for _ in range(WARMUP_STEPS):
+        state, logs = step(state, batch, key)
+    jax.block_until_ready(logs["loss_rec"])
+
+    t0 = time.perf_counter()
+    for _ in range(BENCH_STEPS):
+        state, logs = step(state, batch, key)
+    jax.block_until_ready(logs["loss_rec"])
+    dt = (time.perf_counter() - t0) / BENCH_STEPS
+
+    tokens_per_sample = sum(s.seq_len * s.batch_factor for s in plan.streams.values())
+    tokens_per_sec = tokens_per_sample * BATCH_SIZE / dt
+
+    peak = peak_flops_for(jax.devices()[0])
+    mfu = (flops_per_step / dt) / peak if flops_per_step else 0.0
+
+    print(json.dumps({
+        "metric": "tokens_per_sec_per_chip_mae_vitb_pretrain_flair",
+        "value": round(tokens_per_sec, 1),
+        "unit": "tokens/s/chip",
+        "vs_baseline": round(mfu / 0.45, 4) if mfu else 0.0,
+        "aux": {
+            "step_time_s": round(dt, 4),
+            "samples_per_sec": round(BATCH_SIZE / dt, 2),
+            "mfu": round(mfu, 4),
+            "flops_per_step": flops_per_step,
+            "batch_size": BATCH_SIZE,
+            "tokens_per_sample": tokens_per_sample,
+            "device": str(jax.devices()[0]),
+            "loss_rec": float(logs["loss_rec"]),
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,166 @@
+"""Top-level run / optimizer / mask / data / model / trainer configs.
+
+Semantics mirror the reference config groups (/root/reference/maestro/conf/
+run.py, opt.py, mask.py, data.py, model.py, trainer.py) while the trainer
+options are re-expressed for the TPU runtime: DDP/NCCL strategy flags become a
+device-mesh spec, "16-mixed" becomes a bf16 compute dtype policy.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass
+class RunConfig:
+    """Experiment identity, warm-start (load_*) and resume (fit_*) handles."""
+
+    exp_dir: str = "runs"
+    exp_name: str = "maestro"
+    exp_uuid: str | None = None
+    # warm-start: load weights only (cross-dataset transfer re-binds patch
+    # embeds by name_embed; see reference run_experiment.py:66-74)
+    load_name: str | None = None
+    load_phase: str = "pretrain"
+    load_uuid: str | None = None
+    load_ckpt_path: str | None = None
+    # resume: restore full train state (params + opt + step)
+    fit_name: str | None = None
+    fit_phase: str = "pretrain"
+    fit_uuid: str | None = None
+    fit_ckpt_path: str | None = None
+    reproducible: bool = True
+    seed: int = 42
+    logged_images_per_epoch: int = 5
+
+
+@dataclass
+class OptConfig:
+    """AdamW + OneCycle hyper-parameters shared across phases."""
+
+    b1: float = 0.9
+    b2: float = 0.99
+    wd: float = 0.01
+    accumulate_grad_batches: int = 1
+    base_lr: float = 3e-5
+    epochs: int = 20
+    batch_size: int = 32
+
+
+@dataclass
+class OptPretrainConfig(OptConfig):
+    base_lr: float = 3e-5
+    epochs: int = 20
+    batch_size: int = 32
+
+
+@dataclass
+class OptProbeConfig(OptConfig):
+    base_lr: float = 1e-5
+    epochs: int = 10
+    batch_size: int = 32
+
+
+@dataclass
+class OptFinetuneConfig(OptConfig):
+    """Finetuning optimizer config.
+
+    ``monitor`` examples: ``treesat_mlc_thresh/weighted_f1_val`` (TreeSatAI),
+    ``pastis_seg/average_iou_val`` (PASTIS-HD), ``cosia/average_iou_val``
+    (FLAIR).
+    """
+
+    base_lr: float = 1e-5
+    epochs: int = 20
+    batch_size: int = 32
+    lw_decay: float | None = None
+    final_factor: float = 2.0
+    monitor: str | None = None
+    patience: int | None = 5
+
+
+@dataclass
+class MaskConfig:
+    """Random + structured masking probabilities (reference conf/mask.py)."""
+
+    mask_ratio: float = 0.75
+    mask_scale: float = 0.0
+    mask_mod: float | None = 0.25
+    mask_bands: float | None = None
+    mask_dates: float | None = 0.25
+    mask_loc: float | None = 0.25
+
+
+@dataclass
+class DataConfig:
+    """Host data-pipeline options."""
+
+    use_transform: bool = True
+    random_dates: bool = True
+    random_crop: bool = True
+    num_workers: int = 12
+    prefetch: int = 4
+
+
+@dataclass
+class ModelConfig:
+    """MAESTRO model options (reference conf/model.py:8-19)."""
+
+    interpolate: str = "nearest"
+    fusion_mode: str = "group"
+    inter_depth: int = 3  # number of shared inter-modality trunk blocks
+    model: str = "mae"
+    model_size: str = "tiny"
+    type_head: str = "attentive"
+    loss: str = "l1_norm"
+    use_date_enc: bool = True
+    use_ema: bool = True
+
+
+@dataclass
+class BaselineConfig:
+    """Baseline foundation-model adapter options (reference conf/model.py:22-34)."""
+
+    interpolate: str = "nearest"
+    fusion_mode: str = "shared"
+    model: str = "dinov2"
+    model_size: str = "small"
+    type_head: str = "attentive"
+    freeze: bool = False
+    weight_source: str = "imagenat"
+    pretrained_path: str | None = None
+    keep_norm: bool = True
+    add_date_enc: bool = True
+    use_ema: bool = True
+    version: str | None = None
+
+
+@dataclass
+class TrainerConfig:
+    """TPU execution config: mesh axes, precision policy, checkpointing."""
+
+    # device mesh: data-parallel x model(tensor)-parallel; -1 = all remaining
+    mesh_data: int = -1
+    mesh_model: int = 1
+    # compute dtype for matmuls/activations; params and opt state stay fp32
+    compute_dtype: str = "bfloat16"
+    # number of training processes (multi-host); inferred at runtime
+    num_hosts: int = 1
+    # remat (activation checkpointing) policy for encoder blocks
+    remat: bool = False
+    log_every_steps: int = 50
+    donate_state: bool = True
+
+
+@dataclass
+class ExperimentConfig:
+    """The full experiment: the 9 config groups of the reference CLI."""
+
+    run: RunConfig = field(default_factory=RunConfig)
+    opt_pretrain: OptPretrainConfig = field(default_factory=OptPretrainConfig)
+    opt_probe: OptProbeConfig = field(default_factory=OptProbeConfig)
+    opt_finetune: OptFinetuneConfig = field(default_factory=OptFinetuneConfig)
+    data: DataConfig = field(default_factory=DataConfig)
+    mask: MaskConfig = field(default_factory=MaskConfig)
+    model: ModelConfig = field(default_factory=ModelConfig)
+    trainer: TrainerConfig = field(default_factory=TrainerConfig)

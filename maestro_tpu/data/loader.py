@@ -1,0 +1,123 @@
+"""Host batch loader: parallel sample reads + numpy collation + prefetch.
+
+Replaces the reference's torch DataLoader (12 worker processes,
+/root/reference/maestro/train/data.py).  Raster decoding is numpy and releases
+the GIL inside h5py/imageio, so a thread pool + double-buffered prefetch keeps
+the TPU fed; a grain-based pipeline can be swapped in via the same interface.
+All splits iterate shuffled with drop_last (reference data.py:38-44).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+
+import numpy as np
+
+
+def collate(samples: list[dict[str, np.ndarray]]) -> dict[str, np.ndarray]:
+    keys = samples[0].keys()
+    return {k: np.stack([s[k] for s in samples], axis=0) for k in keys}
+
+
+class EOBatchLoader:
+    """Iterable over collated numpy batches with background prefetch."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        num_workers: int = 8,
+        prefetch: int = 2,
+        seed: int = 0,
+    ) -> None:
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.num_workers = max(num_workers, 1)
+        self.prefetch = prefetch
+        self.rng = np.random.default_rng(seed)
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _batches(self) -> list[np.ndarray]:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            self.rng.shuffle(order)
+        nb = len(self)
+        return [
+            order[i * self.batch_size : (i + 1) * self.batch_size]
+            for i in range(nb)
+        ]
+
+    def __iter__(self):
+        batches = self._batches()
+        out: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce() -> None:
+            with ThreadPoolExecutor(self.num_workers) as pool:
+                for idxs in batches:
+                    if stop.is_set():
+                        return
+                    samples = list(pool.map(self.dataset.__getitem__, idxs))
+                    out.put(collate(samples))
+            out.put(None)
+
+        worker = threading.Thread(target=produce, daemon=True)
+        worker.start()
+        try:
+            while True:
+                batch = out.get()
+                if batch is None:
+                    return
+                yield batch
+        finally:
+            stop.set()
+
+
+def make_loader(
+    datasets_cfg,
+    data_cfg,
+    stage: str,
+    ssl_phase: str,
+    batch_size: int,
+    seed: int = 0,
+):
+    """Build (dataset, loader) for one (stage, phase), mirroring SSLDataModule."""
+    from maestro_tpu.data.datasets import DATASET_CLASSES
+
+    ds_cls = DATASET_CLASSES[datasets_cfg.name_dataset]
+    root = (
+        f"{datasets_cfg.root_dir}/{datasets_cfg.dataset.rel_dir}"
+        if datasets_cfg.dataset.rel_dir
+        else datasets_cfg.root_dir
+    )
+    dataset = ds_cls(
+        datasets_cfg.dataset,
+        root,
+        stage,
+        use_transform=data_cfg.use_transform and stage == "train",
+        random_dates=data_cfg.random_dates,
+        random_crop=data_cfg.random_crop,
+        ssl_phase=ssl_phase,
+        seed=seed,
+    )
+    loader = EOBatchLoader(
+        dataset,
+        batch_size=batch_size,
+        shuffle=True,
+        drop_last=True,
+        num_workers=data_cfg.num_workers,
+        prefetch=data_cfg.prefetch,
+        seed=seed,
+    )
+    return dataset, loader

@@ -1,0 +1,146 @@
+"""Transformer encoder/decoder blocks (pre-LN ViT).
+
+Block structure mirrors the reference's encoder stack (vit_pytorch Transformer
+used at /root/reference/maestro/ssl/mae.py:133-176): pre-LayerNorm attention
+(qkv bias-free, output projection with bias) and pre-LayerNorm MLP with exact
+GELU, residual connections, and a final LayerNorm after the last block.
+
+TPU-first notes: computation runs in ``dtype`` (bf16 by default) with fp32
+params and fp32 softmax; attention is a plain batched matmul formulation that
+XLA fuses well at these sequence lengths (<= a few thousand tokens), with a
+Pallas flash-attention path for the long-sequence configs (ops/attention.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+Dtype = Any
+
+
+class Attention(nn.Module):
+    """Multi-head self-attention; inner width = heads * dim_head."""
+
+    dim: int
+    heads: int
+    dim_head: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        inner = self.heads * self.dim_head
+        y = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        qkv = nn.Dense(inner * 3, use_bias=False, dtype=self.dtype, name="qkv")(y)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        b, l, _ = x.shape
+        shape = (b, l, self.heads, self.dim_head)
+        q = q.reshape(shape).transpose(0, 2, 1, 3)
+        k = k.reshape(shape).transpose(0, 2, 1, 3)
+        v = v.reshape(shape).transpose(0, 2, 1, 3)
+
+        scale = self.dim_head**-0.5
+        logits = jnp.einsum(
+            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32,
+        )
+        attn = jax.nn.softmax(logits * scale, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, l, inner)
+        return nn.Dense(self.dim, dtype=self.dtype, name="out")(out)
+
+
+class FeedForward(nn.Module):
+    """Pre-LN MLP with exact GELU."""
+
+    dim: int
+    hidden_dim: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        y = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        y = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(y)
+        y = nn.gelu(y, approximate=False)
+        return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(y)
+
+
+class Block(nn.Module):
+    """Pre-LN transformer block: x + attn(ln(x)); x + mlp(ln(x))."""
+
+    dim: int
+    heads: int
+    dim_head: int
+    mlp_dim: int
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = x + Attention(
+            self.dim, self.heads, self.dim_head, dtype=self.dtype, name="attn",
+        )(x)
+        return x + FeedForward(self.dim, self.mlp_dim, dtype=self.dtype, name="mlp")(x)
+
+
+class Transformer(nn.Module):
+    """Stack of blocks + final LayerNorm."""
+
+    dim: int
+    depth: int
+    heads: int
+    dim_head: int
+    mlp_dim: int
+    dtype: Dtype = jnp.bfloat16
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        block_cls = nn.remat(Block) if self.remat else Block
+        for i in range(self.depth):
+            x = block_cls(
+                self.dim,
+                self.heads,
+                self.dim_head,
+                self.mlp_dim,
+                dtype=self.dtype,
+                name=f"block{i}",
+            )(x)
+        return nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+
+
+class AttentiveReduce(nn.Module):
+    """Single-learned-query multi-head attention pooling.
+
+    Reference: /root/reference/maestro/layers/head.py:28-63.
+    [B, L, C] -> [B, C].
+    """
+
+    dim: int
+    heads: int = 8
+    dtype: Dtype = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        y = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        kv = nn.Dense(self.dim * 2, use_bias=False, dtype=self.dtype, name="to_kv")(y)
+        k, v = jnp.split(kv, 2, axis=-1)
+
+        b, l, _ = x.shape
+        dh = self.dim // self.heads
+        query = self.param(
+            "query", nn.initializers.normal(1.0), (self.dim,), jnp.float32,
+        )
+        q = query.reshape(1, self.heads, 1, dh).astype(self.dtype)
+        k = k.reshape(b, l, self.heads, dh).transpose(0, 2, 1, 3)
+        v = v.reshape(b, l, self.heads, dh).transpose(0, 2, 1, 3)
+
+        logits = jnp.einsum(
+            "xhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32,
+        ) * dh**-0.5
+        attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        out = out.transpose(0, 2, 1, 3).reshape(b, self.dim)
+        return nn.LayerNorm(dtype=self.dtype, name="norm_fc")(out)

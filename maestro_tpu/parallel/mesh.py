@@ -1,0 +1,93 @@
+"""Device mesh + sharding rules (data parallel x tensor parallel).
+
+The reference delegates all parallelism to Lightning DDP over NCCL
+(/root/reference/maestro/conf/trainer.py:12-14).  TPU-native replacement:
+one ``jax.sharding.Mesh`` with axes ``("data", "model")``; the batch is
+sharded over "data", parameters are replicated over "data" and — when the
+model axis is >1 — tensor-sharded over "model" (attention heads / MLP hidden).
+All collectives (gradient psum from jit's partitioner, all-gathers for
+tensor-sharded matmuls) are inserted by XLA from these shardings.
+
+The reference's ``find_unused_parameters`` DDP workaround has no equivalent
+here: frozen params are masked in the optimizer (train/optim.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+MODEL_AXIS = "model"
+
+
+def make_mesh(
+    num_data: int = -1,
+    num_model: int = 1,
+    devices=None,
+) -> Mesh:
+    """Build a ("data", "model") mesh; num_data=-1 uses all remaining chips."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    if num_data == -1:
+        if n % num_model:
+            msg = f"{n} devices not divisible by model axis {num_model}."
+            raise ValueError(msg)
+        num_data = n // num_model
+    devices = devices[: num_data * num_model].reshape(num_data, num_model)
+    return Mesh(devices, (DATA_AXIS, MODEL_AXIS))
+
+
+# --------------------------------------------------------------------------
+# parameter partition rules (tensor parallelism over the "model" axis)
+# --------------------------------------------------------------------------
+def _param_spec(path: tuple, value, tp: bool) -> P:
+    """PartitionSpec for one parameter by its tree path.
+
+    TP layout (Megatron-style column/row split per block):
+      qkv / fc1 kernels: split output features -> P(None, "model")
+      out / fc2 kernels: split input features  -> P("model", None)
+    Everything else (norms, embeds, biases of row-split layers) replicated.
+    """
+    if not tp or value.ndim < 2:
+        return P()
+    keys = [str(getattr(k, "key", k)) for k in path]
+    joined = "/".join(keys)
+    if joined.endswith("qkv/kernel") or joined.endswith("fc1/kernel"):
+        return P(None, MODEL_AXIS)
+    if joined.endswith("out/kernel") or joined.endswith("fc2/kernel"):
+        return P(MODEL_AXIS, None)
+    if "to_kv/kernel" in joined:
+        return P(None, MODEL_AXIS)
+    return P()
+
+
+def param_shardings(mesh: Mesh, params, tensor_parallel: bool | None = None):
+    """NamedSharding pytree for the params (TP iff the model axis is >1)."""
+    if tensor_parallel is None:
+        tensor_parallel = mesh.shape[MODEL_AXIS] > 1
+    return jax.tree_util.tree_map_with_path(
+        lambda path, v: NamedSharding(mesh, _param_spec(path, v, tensor_parallel)),
+        params,
+    )
+
+
+def batch_shardings(mesh: Mesh, batch):
+    """Shard every batch leaf over the data axis (leading dim)."""
+    return jax.tree.map(
+        lambda v: NamedSharding(mesh, P(DATA_AXIS, *(None,) * (v.ndim - 1))),
+        batch,
+    )
+
+
+def replicated(mesh: Mesh):
+    return NamedSharding(mesh, P())
+
+
+def shard_params(mesh: Mesh, params, tensor_parallel: bool | None = None):
+    return jax.device_put(params, param_shardings(mesh, params, tensor_parallel))
+
+
+def shard_batch(mesh: Mesh, batch):
+    return jax.device_put(batch, batch_shardings(mesh, batch))

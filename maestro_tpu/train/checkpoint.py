@@ -1,0 +1,121 @@
+"""Checkpointing with the reference's dual restore semantics.
+
+Reference (/root/reference/maestro/hydra_utils.py:17-48 + run_experiment.py:
+66-121): ``load_*`` = warm-start weights only (strict=False: missing/extra
+subtrees are tolerated — this is how cross-dataset transfer re-binds a
+pretrained trunk onto a new dataset's patch embeds via ``name_embed``
+aliasing) vs ``fit_*`` = full train-state resume (params + opt state + step).
+
+Implementation: orbax StandardCheckpointer over the raw pytrees, with
+checkpoint directories named ``{phase}-epoch={N}`` and discovery of the
+latest epoch by sort, mirroring the reference's glob convention.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from pathlib import Path
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def save_checkpoint(
+    ckpt_dir: str | Path,
+    phase: str,
+    epoch: int,
+    state,
+    extra: dict[str, Any] | None = None,
+) -> Path:
+    path = Path(ckpt_dir).absolute() / f"{phase}-epoch={epoch}"
+    with ocp.StandardCheckpointer() as ckptr:
+        payload = {
+            "params": state.params,
+            "opt_state": state.opt_state,
+            "step": state.step,
+        }
+        if state.ema_params is not None:
+            payload["ema_params"] = state.ema_params
+        ckptr.save(path / "state", payload, force=True)
+    if extra:
+        (path / "meta.json").write_text(json.dumps(extra, default=str))
+    return path
+
+
+def find_latest_checkpoint(ckpt_dir: str | Path, phase: str) -> Path | None:
+    """Latest ``{phase}-epoch=N`` checkpoint under a directory tree."""
+    ckpt_dir = Path(ckpt_dir)
+    if not ckpt_dir.exists():
+        return None
+    pattern = re.compile(rf"{re.escape(phase)}-epoch=(\d+)$")
+    candidates = []
+    for p in ckpt_dir.rglob(f"{phase}-epoch=*"):
+        m = pattern.search(p.name)
+        if m and (p / "state").exists():
+            candidates.append((int(m.group(1)), p))
+    if not candidates:
+        return None
+    return max(candidates)[1]
+
+
+def restore_state(path: str | Path, state):
+    """Full restore into an existing TrainState template (fit_* resume)."""
+    template = {
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "step": state.step,
+    }
+    if state.ema_params is not None:
+        template["ema_params"] = state.ema_params
+    with ocp.StandardCheckpointer() as ckptr:
+        restored = ckptr.restore(Path(path).absolute() / "state", template)
+    return state.replace(
+        params=restored["params"],
+        opt_state=restored["opt_state"],
+        step=restored["step"],
+        ema_params=restored.get("ema_params", state.ema_params),
+    )
+
+
+def load_weights(path: str | Path, params):
+    """strict=False weight warm start: copy matching leaves, keep the rest.
+
+    Leaves match when both tree path and shape agree; everything else keeps
+    its fresh initialization (the reference's load_from_checkpoint
+    strict=False behavior, run_experiment.py:66-74).
+    """
+    with ocp.StandardCheckpointer() as ckptr:
+        saved_params = ckptr.restore(
+            Path(path).absolute() / "state",
+        )["params"]
+
+    flat_saved = _flatten(saved_params)
+    flat_new = _flatten(params)
+    merged = {}
+    for key, val in flat_new.items():
+        sv = flat_saved.get(key)
+        if sv is not None and np.shape(sv) == np.shape(val):
+            merged[key] = jax.numpy.asarray(sv, dtype=val.dtype)
+        else:
+            merged[key] = val
+    return _unflatten(merged, params)
+
+
+def _flatten(tree) -> dict[tuple, Any]:
+    flat, _ = jax.tree_util.tree_flatten_with_path(tree)
+    return {
+        tuple(str(getattr(k, "key", k)) for k in path): v for path, v in flat
+    }
+
+
+def _unflatten(flat: dict[tuple, Any], template):
+    leaves, treedef = jax.tree_util.tree_flatten_with_path(template)
+    ordered = [
+        flat[tuple(str(getattr(k, "key", k)) for k in path)] for path, _ in leaves
+    ]
+    return jax.tree_util.tree_unflatten(
+        jax.tree_util.tree_structure(template), ordered,
+    )

@@ -1,0 +1,127 @@
+"""Optimizer construction: AdamW + OneCycle with phase-dependent freezing.
+
+Reference semantics (/root/reference/maestro/train/model.py:120-158):
+sqrt batch-size LR scaling ``lr = base_lr * (global_batch / 3)**0.5``,
+AdamW(b1, b2, wd), OneCycleLR(pct_start=0.2, div_factor=1000,
+final_div_factor=final_factor/1000), stepped per optimizer step.
+
+Phase-dependent trainability replaces torch's grad=None skipping:
+  - pretrain: heads frozen (they receive no gradient in the reference);
+  - probe: only heads train (encoder features are stop-gradient'ed);
+  - finetune: everything trains.
+Frozen subtrees get ``optax.set_to_zero`` via ``optax.multi_transform`` so
+AdamW state/weight-decay never touches them.
+"""
+
+from __future__ import annotations
+
+import jax
+import optax
+
+from maestro_tpu.conf.core import OptConfig, OptFinetuneConfig
+
+
+def lr_for(opt: OptConfig, num_devices: int) -> float:
+    """Sqrt batch-size scaling (the /3 keeps parity with reference runs)."""
+    global_batch = opt.batch_size * opt.accumulate_grad_batches * num_devices
+    return opt.base_lr * (global_batch / 3.0) ** 0.5
+
+
+def onecycle(opt: OptConfig, total_steps: int, num_devices: int) -> optax.Schedule:
+    peak = lr_for(opt, num_devices)
+    final_factor = (
+        opt.final_factor if isinstance(opt, OptFinetuneConfig) else 1e7
+    )
+    return onecycle_schedule(
+        total_steps=max(total_steps, 1),
+        peak_value=peak,
+        pct_start=0.2,
+        div_factor=1000.0,
+        final_div_factor=final_factor / 1000.0,
+    )
+
+
+def onecycle_schedule(
+    total_steps: int,
+    peak_value: float,
+    pct_start: float = 0.2,
+    div_factor: float = 1000.0,
+    final_div_factor: float = 1e4,
+) -> optax.Schedule:
+    """Cosine one-cycle (torch OneCycleLR semantics), safe for tiny step counts.
+
+    optax's cosine_onecycle_schedule divides by a zero-length warmup interval
+    when ``pct_start * total_steps`` rounds to 0, yielding NaN learning rates;
+    this formulation clamps both phases to >= 1 step.
+    """
+    import jax.numpy as jnp
+
+    init_value = peak_value / div_factor
+    final_value = init_value / final_div_factor
+    up = max(round(pct_start * total_steps), 1)
+    down = max(total_steps - up, 1)
+
+    def schedule(count):
+        count = jnp.minimum(count, total_steps)
+        up_pct = jnp.clip(count / up, 0.0, 1.0)
+        down_pct = jnp.clip((count - up) / down, 0.0, 1.0)
+        lr_up = peak_value + (init_value - peak_value) * 0.5 * (
+            1.0 + jnp.cos(jnp.pi * up_pct)
+        )
+        lr_down = final_value + (peak_value - final_value) * 0.5 * (
+            1.0 + jnp.cos(jnp.pi * down_pct)
+        )
+        return jnp.where(count <= up, lr_up, lr_down)
+
+    return schedule
+
+
+def _param_role(path: tuple, _: object) -> str:
+    """Heads live under linen-named 'heads_<target>' subtrees."""
+    for k in path:
+        key = getattr(k, "key", None)
+        if isinstance(key, str) and key.startswith("heads_"):
+            return "head"
+    return "backbone"
+
+
+def param_labels(params) -> dict:
+    """Label each param as 'head' or 'backbone' by its tree path."""
+    return jax.tree_util.tree_map_with_path(_param_role, params)
+
+
+def trainable_roles(phase: str) -> tuple[str, ...]:
+    match phase:
+        case "pretrain":
+            return ("backbone",)
+        case "probe":
+            return ("head",)
+        case "finetune":
+            return ("backbone", "head")
+    msg = f"Invalid phase {phase!r}."
+    raise ValueError(msg)
+
+
+def make_optimizer(
+    opt: OptConfig,
+    phase: str,
+    total_steps: int,
+    params,
+    num_devices: int = 1,
+) -> optax.GradientTransformation:
+    schedule = onecycle(opt, total_steps, num_devices)
+    adamw = optax.adamw(
+        learning_rate=schedule, b1=opt.b1, b2=opt.b2, weight_decay=opt.wd,
+    )
+    roles = trainable_roles(phase)
+    labels = param_labels(params)
+    tx = optax.multi_transform(
+        {
+            "backbone": adamw if "backbone" in roles else optax.set_to_zero(),
+            "head": adamw if "head" in roles else optax.set_to_zero(),
+        },
+        labels,
+    )
+    if opt.accumulate_grad_batches > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=opt.accumulate_grad_batches)
+    return tx

@@ -1,0 +1,351 @@
+"""Training runtime: epoch loop, eval, checkpointing, phase orchestration.
+
+TPU-native replacement for the reference's Lightning stack
+(/root/reference/maestro/train/trainer.py + run_experiment.py): three explicit
+phases (pretrain -> probe -> finetune) share one model; each phase builds its
+optimizer with phase-dependent freezing, runs a jitted step in a plain epoch
+loop, evaluates with CM-based metrics, EMA-updates per epoch, checkpoints per
+epoch (monitor=max + early stopping for finetune), and tests on the best
+checkpoint.
+"""
+
+from __future__ import annotations
+
+import logging
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from maestro_tpu.conf.core import ExperimentConfig, OptConfig, OptFinetuneConfig
+from maestro_tpu.conf.datasets import DatasetsConfig
+from maestro_tpu.models.mae import MaestroMAE, build_model
+from maestro_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
+from maestro_tpu.specs.fusion import FusionPlan
+from maestro_tpu.train import checkpoint as ckpt
+from maestro_tpu.train.optim import make_optimizer
+from maestro_tpu.train.state import TrainState, ema_momentum, ema_update
+from maestro_tpu.train.steps import (
+    compute_metrics,
+    init_metric_states,
+    make_pretrain_eval_step,
+    make_pretrain_step,
+    make_supervised_eval_step,
+    make_supervised_step,
+)
+
+log = logging.getLogger("maestro_tpu")
+
+
+@dataclass
+class PhaseResult:
+    phase: str
+    epochs_run: int
+    best_epoch: int
+    best_monitor: float | None
+    val_metrics: dict[str, Any] = field(default_factory=dict)
+    test_metrics: dict[str, Any] = field(default_factory=dict)
+    history: list[dict] = field(default_factory=list)
+
+
+class Experiment:
+    """One experiment = one model trained through up to three phases."""
+
+    def __init__(
+        self,
+        cfg: ExperimentConfig,
+        datasets: DatasetsConfig,
+        workdir: str | Path = "runs/debug",
+    ) -> None:
+        self.cfg = cfg
+        self.datasets = datasets
+        self.workdir = Path(workdir)
+        self.workdir.mkdir(parents=True, exist_ok=True)
+
+        dtype = jnp.bfloat16 if cfg.trainer.compute_dtype == "bfloat16" else jnp.float32
+        self.model, self.plan = build_model(
+            datasets, cfg.mask, cfg.model, dtype=dtype, remat=cfg.trainer.remat,
+        )
+        self.mesh = make_mesh(cfg.trainer.mesh_data, cfg.trainer.mesh_model)
+        self.params = None  # lazily initialized per phase (heads appear on use)
+        self._warm_start: str | None = None  # load_* weights-only path
+        self._writer = None
+
+    # ------------------------------------------------------------------
+    @property
+    def writer(self):
+        if self._writer is None:
+            try:
+                from tensorboardX import SummaryWriter
+
+                self._writer = SummaryWriter(str(self.workdir / "tb"))
+            except ImportError:
+                self._writer = _NullWriter()
+        return self._writer
+
+    def _log_scalar(self, tag: str, value: float, step: int) -> None:
+        self.writer.add_scalar(tag, value, step)
+
+    # ------------------------------------------------------------------
+    def init_params(self, phase: str, batch: dict, seed: int):
+        key = jax.random.PRNGKey(seed)
+        fresh = jax.jit(
+            lambda b: self.model.init({"params": key, "mask": key}, b, phase),
+        )(batch)
+        if self.params is not None:
+            # carry weights forward between phases (strict=False merge)
+            fresh = _merge_params(self.params, fresh)
+        elif self._warm_start:
+            fresh = ckpt.load_weights(self._warm_start, fresh)
+            log.info("warm-started weights from %s", self._warm_start)
+        return fresh
+
+    def _device_batch(self, np_batch: dict) -> dict:
+        batch = {k: jnp.asarray(v) for k, v in np_batch.items()}
+        return shard_batch(self.mesh, batch)
+
+    # ------------------------------------------------------------------
+    def fit_phase(
+        self,
+        phase: str,
+        opt: OptConfig,
+        train_loader,
+        val_loader=None,
+        test_loader=None,
+        resume_path: str | None = None,
+    ) -> PhaseResult:
+        """Train one phase; returns metrics history and best checkpoint info."""
+        cfg = self.cfg
+        seed = cfg.run.seed
+        monitor = getattr(opt, "monitor", None)
+        patience = getattr(opt, "patience", None)
+
+        first = next(iter(train_loader))
+        batch0 = self._device_batch(first)
+        params = self.init_params(phase, batch0, seed)
+        params = shard_params(self.mesh, params)
+
+        steps_per_epoch = max(len(train_loader) // opt.accumulate_grad_batches, 1)
+        total_steps = steps_per_epoch * opt.epochs
+        num_devices = self.mesh.devices.size
+        tx = make_optimizer(opt, phase, total_steps, params, num_devices)
+        state = TrainState.create(params, tx, use_ema=cfg.model.use_ema)
+        self.params = None  # freed into state
+
+        if resume_path:
+            state = ckpt.restore_state(resume_path, state)
+            log.info("resumed %s from %s (step=%d)", phase, resume_path,
+                     int(state.step))
+
+        if phase == "pretrain":
+            train_step = make_pretrain_step(self.model, self.plan, tx,
+                                            cfg.model.loss)
+            eval_step = make_pretrain_eval_step(self.model, self.plan,
+                                                cfg.model.loss)
+        else:
+            train_step = make_supervised_step(self.model, phase, tx)
+            eval_step = make_supervised_eval_step(
+                self.model, phase, use_ema=(phase == "finetune"),
+            )
+
+        rng = jax.random.PRNGKey(seed + 1)
+        result = PhaseResult(phase, 0, -1, None)
+        best_monitor, best_epoch, best_path, stale = -np.inf, -1, None, 0
+
+        for epoch in range(opt.epochs):
+            t0 = time.time()
+            train_logs = self._run_train_epoch(
+                phase, state, train_step, train_loader, rng,
+            )
+            state = train_logs.pop("state")
+            if state.ema_params is not None:
+                state = ema_update(state, ema_momentum(opt.epochs))
+
+            val_logs = {}
+            if val_loader is not None:
+                val_logs = self._run_eval_epoch(
+                    phase, state, eval_step, val_loader, rng,
+                )
+
+            epoch_log = {
+                "epoch": epoch,
+                "time_s": round(time.time() - t0, 2),
+                **{f"train/{k}": v for k, v in train_logs.items()},
+                **{f"val/{k}": v for k, v in _flat_metrics(val_logs).items()},
+            }
+            result.history.append(epoch_log)
+            for k, v in epoch_log.items():
+                if isinstance(v, (int, float)):
+                    self._log_scalar(f"{phase}_{k}", v, epoch)
+            log.info("%s epoch %d: %s", phase, epoch, epoch_log)
+
+            # checkpoint + monitor
+            score = _lookup_monitor(val_logs, monitor) if monitor else None
+            path = ckpt.save_checkpoint(
+                self.workdir / "checkpoints", phase, epoch, state,
+                extra={"epoch": epoch, "phase": phase},
+            )
+            if monitor is None or score is None or score > best_monitor:
+                best_monitor = score if score is not None else -np.inf
+                best_epoch, best_path, stale = epoch, path, 0
+            else:
+                stale += 1
+            if patience is not None and monitor is not None and stale > patience:
+                log.info("early stopping %s at epoch %d", phase, epoch)
+                break
+
+        result.epochs_run = len(result.history)
+        result.best_epoch = best_epoch
+        result.best_monitor = None if best_monitor == -np.inf else float(best_monitor)
+        if val_loader is not None:
+            result.val_metrics = _flat_metrics(
+                self._run_eval_epoch(phase, state, eval_step, val_loader, rng),
+            )
+
+        # test on best checkpoint
+        if test_loader is not None and best_path is not None:
+            state = ckpt.restore_state(best_path, state)
+            result.test_metrics = _flat_metrics(
+                self._run_eval_epoch(phase, state, eval_step, test_loader, rng),
+            )
+            log.info("%s test: %s", phase, result.test_metrics)
+
+        self.params = jax.tree.map(lambda x: x, state.params)
+        return result
+
+    # ------------------------------------------------------------------
+    def _run_train_epoch(self, phase, state, train_step, loader, rng) -> dict:
+        losses = []
+        metric_states = (
+            init_metric_states(self.model.head_specs) if phase != "pretrain" else None
+        )
+        for np_batch in loader:
+            batch = self._device_batch(np_batch)
+            if phase == "pretrain":
+                state, logs = train_step(state, batch, rng)
+            else:
+                state, metric_states, logs = train_step(state, batch, metric_states)
+            losses.append(logs)
+        out = {
+            k: float(np.mean([float(l[k]) for l in losses]))
+            for k in (losses[0] if losses else {})
+        }
+        if metric_states is not None:
+            out.update(_flat_metrics(
+                compute_metrics(self.model.head_specs, metric_states),
+            ))
+        out["state"] = state
+        return out
+
+    def _run_eval_epoch(self, phase, state, eval_step, loader, rng) -> dict:
+        losses = []
+        if phase == "pretrain":
+            for i, np_batch in enumerate(loader):
+                batch = self._device_batch(np_batch)
+                logs = eval_step(state.params, batch, jax.random.fold_in(rng, i))
+                losses.append(float(logs["loss_rec"]))
+            return {"loss_rec": float(np.mean(losses))} if losses else {}
+
+        metric_states = init_metric_states(self.model.head_specs)
+        for np_batch in loader:
+            batch = self._device_batch(np_batch)
+            metric_states, logs = eval_step(state, batch, metric_states)
+            losses.append(float(logs["loss_pred"]))
+        out: dict[str, Any] = compute_metrics(self.model.head_specs, metric_states)
+        out["loss_pred"] = float(np.mean(losses)) if losses else 0.0
+        return out
+
+
+# --------------------------------------------------------------------------
+def run_experiment(
+    cfg: ExperimentConfig,
+    datasets: DatasetsConfig,
+    workdir: str | Path | None = None,
+) -> dict[str, PhaseResult]:
+    """Sequence pretrain -> probe -> finetune (reference run_experiment.py)."""
+    from maestro_tpu.data.loader import make_loader
+
+    workdir = Path(workdir or Path(cfg.run.exp_dir) / cfg.run.exp_name)
+    exp = Experiment(cfg, datasets, workdir)
+
+    # warm start from a previous experiment's weights (applied at first init)
+    if cfg.run.load_ckpt_path:
+        exp._warm_start = cfg.run.load_ckpt_path
+
+    results: dict[str, PhaseResult] = {}
+    phase_opts = (
+        ("pretrain", cfg.opt_pretrain),
+        ("probe", cfg.opt_probe),
+        ("finetune", cfg.opt_finetune),
+    )
+    for phase, opt in phase_opts:
+        if opt.epochs <= 0:
+            continue
+        if phase != "pretrain" and not datasets.dataset.targets:
+            continue  # pretrain-only datasets (S2-NAIP)
+        loaders = {}
+        for stage in ("train", "val", "test"):
+            _, loaders[stage] = make_loader(
+                datasets, cfg.data, stage, phase, opt.batch_size,
+                seed=cfg.run.seed,
+            )
+        resume = (
+            cfg.run.fit_ckpt_path
+            if cfg.run.fit_ckpt_path and cfg.run.fit_phase == phase
+            else None
+        )
+        results[phase] = exp.fit_phase(
+            phase, opt, loaders["train"], loaders["val"], loaders["test"],
+            resume_path=resume,
+        )
+    return results
+
+
+# --------------------------------------------------------------------------
+def _merge_params(old, fresh):
+    """strict=False carry-over of matching leaves between phase param trees."""
+    old_flat = {
+        tuple(str(getattr(k, "key", k)) for k in p): v
+        for p, v in jax.tree_util.tree_flatten_with_path(old)[0]
+    }
+
+    def pick(path, leaf):
+        key = tuple(str(getattr(k, "key", k)) for k in path)
+        prev = old_flat.get(key)
+        if prev is not None and prev.shape == leaf.shape:
+            return prev.astype(leaf.dtype)
+        return leaf
+
+    return jax.tree_util.tree_map_with_path(pick, fresh)
+
+
+def _flat_metrics(metrics: dict) -> dict[str, float]:
+    out = {}
+    for k, v in metrics.items():
+        if isinstance(v, dict):
+            for k2, v2 in v.items():
+                out[f"{k}/{k2}"] = float(v2)
+        elif isinstance(v, (int, float)):
+            out[k] = float(v)
+    return out
+
+
+def _lookup_monitor(val_logs: dict, monitor: str) -> float | None:
+    """Resolve 'target/metric_val'-style monitor names against val metrics."""
+    flat = _flat_metrics(val_logs)
+    name = monitor.removesuffix("_val")
+    if name in flat:
+        return flat[name]
+    return None
+
+
+class _NullWriter:
+    def add_scalar(self, *a, **k): ...
+
+    def add_image(self, *a, **k): ...
+
+    def close(self): ...

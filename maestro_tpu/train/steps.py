@@ -1,0 +1,142 @@
+"""Jitted train / eval steps for the three SSL phases.
+
+One jitted function per (phase, stage): the whole hot path — resize, embed,
+mask, encode, decode, loss, backward, AdamW update — is a single XLA program.
+Gradients are averaged across the data axis by jit itself when the batch is
+sharded over a mesh (parallel/mesh.py); there is no explicit collective code
+here, matching the "let XLA insert collectives" design.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from maestro_tpu.models.mae import MaestroMAE
+from maestro_tpu.specs.fusion import FusionPlan
+from maestro_tpu.train import metrics as M
+from maestro_tpu.train.losses import prediction_losses, reconstruction_loss
+from maestro_tpu.train.state import TrainState
+
+
+def make_pretrain_step(
+    model: MaestroMAE,
+    plan: FusionPlan,
+    tx: optax.GradientTransformation,
+    loss_type: str = "l1_norm",
+    donate: bool = True,
+) -> Callable:
+    def loss_fn(params, batch, rng):
+        pixels, masks, targets = model.apply(
+            params, batch, "pretrain", rngs={"mask": rng},
+        )
+        return reconstruction_loss(plan, targets, pixels, masks, loss_type)
+
+    def step(state: TrainState, batch: dict, rng: jax.Array):
+        rng = jax.random.fold_in(rng, state.step)
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1, params=params, opt_state=opt_state,
+        )
+        return new_state, {"loss_rec": loss}
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_pretrain_eval_step(
+    model: MaestroMAE,
+    plan: FusionPlan,
+    loss_type: str = "l1_norm",
+) -> Callable:
+    def step(params, batch: dict, rng: jax.Array):
+        pixels, masks, targets = model.apply(
+            params, batch, "pretrain", rngs={"mask": rng},
+        )
+        loss = reconstruction_loss(plan, targets, pixels, masks, loss_type)
+        return {"loss_rec": loss}
+
+    return jax.jit(step)
+
+
+def make_supervised_step(
+    model: MaestroMAE,
+    phase: str,  # "probe" | "finetune"
+    tx: optax.GradientTransformation,
+    donate: bool = True,
+) -> Callable:
+    head_specs = model.head_specs
+
+    def loss_fn(params, batch):
+        logits = model.apply(params, batch, phase)
+        return prediction_losses(head_specs, batch, logits)
+
+    def step(state: TrainState, batch: dict, metric_states: dict):
+        (loss, aux), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch,
+        )
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1, params=params, opt_state=opt_state,
+        )
+        new_metrics = {
+            hs.name: M.metric_update(
+                hs.type_target, metric_states[hs.name], aux[hs.name],
+            )
+            for hs in head_specs
+        }
+        return new_state, new_metrics, {"loss_pred": loss}
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_supervised_eval_step(
+    model: MaestroMAE,
+    phase: str,
+    use_ema: bool = False,
+) -> Callable:
+    """Eval step; finetune val/test runs the EMA weights when available."""
+    head_specs = model.head_specs
+
+    @partial(jax.jit, static_argnames=())
+    def step(state: TrainState, batch: dict, metric_states: dict):
+        params = (
+            state.ema_params
+            if (use_ema and state.ema_params is not None)
+            else state.params
+        )
+        logits = model.apply(params, batch, phase)
+        loss, aux = prediction_losses(head_specs, batch, logits)
+        new_metrics = {
+            hs.name: M.metric_update(
+                hs.type_target, metric_states[hs.name], aux[hs.name],
+            )
+            for hs in head_specs
+        }
+        return new_metrics, {"loss_pred": loss}
+
+    return step
+
+
+def init_metric_states(head_specs) -> dict[str, Any]:
+    return {
+        hs.name: M.metric_init(hs.type_target, hs.num_classes) for hs in head_specs
+    }
+
+
+def compute_metrics(head_specs, metric_states) -> dict[str, dict[str, float]]:
+    return {
+        hs.name: {
+            k: float(v)
+            for k, v in M.metric_compute(
+                hs.type_target, metric_states[hs.name],
+            ).items()
+        }
+        for hs in head_specs
+    }

@@ -1,0 +1,59 @@
+"""Test fixtures: force CPU JAX with a virtual 8-device mesh.
+
+The sandbox pins JAX_PLATFORMS=axon (remote TPU tunnel); tests run on CPU with
+8 virtual devices so sharding paths are exercised without hardware.
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+import pytest
+
+from maestro_tpu.conf import (
+    DatasetsConfig,
+    MaskConfig,
+    ModelConfig,
+    OptFinetuneConfig,
+)
+
+
+@pytest.fixture(scope="session")
+def datasets_treesat() -> DatasetsConfig:
+    return DatasetsConfig(name_dataset="treesatai_ts")
+
+
+@pytest.fixture(scope="session")
+def datasets_pastis() -> DatasetsConfig:
+    return DatasetsConfig(name_dataset="pastis_hd")
+
+
+@pytest.fixture(scope="session")
+def datasets_flair() -> DatasetsConfig:
+    return DatasetsConfig(name_dataset="flair")
+
+
+@pytest.fixture(scope="session")
+def datasets_s2naip() -> DatasetsConfig:
+    return DatasetsConfig(name_dataset="s2_naip")
+
+
+@pytest.fixture()
+def mask_cfg() -> MaskConfig:
+    return MaskConfig()
+
+
+@pytest.fixture()
+def model_cfg() -> ModelConfig:
+    return ModelConfig(model_size="tiny")
+
+
+@pytest.fixture()
+def opt_finetune() -> OptFinetuneConfig:
+    return OptFinetuneConfig()

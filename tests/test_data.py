@@ -1,0 +1,133 @@
+"""Data pipeline tests on synthetic on-disk fixtures (reference test_data.py
+pattern: iterate real reads through binning/transform, check shapes)."""
+
+import numpy as np
+import pytest
+
+from maestro_tpu.conf import DataConfig, DatasetsConfig
+from maestro_tpu.data.datasets import (
+    FLAIRDataset,
+    PASTISHDDataset,
+    TreeSatAITSDataset,
+)
+from maestro_tpu.data.loader import EOBatchLoader, make_loader
+from tests.fixtures import (
+    write_flair_fixture,
+    write_pastis_fixture,
+    write_treesat_fixture,
+)
+
+
+@pytest.fixture(scope="session")
+def treesat_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("treesat")
+    write_treesat_fixture(root, num_tiles=3)
+    return root
+
+
+@pytest.fixture(scope="session")
+def pastis_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("pastis")
+    write_pastis_fixture(root, num_tiles=1)
+    return root
+
+
+@pytest.fixture(scope="session")
+def flair_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("flair")
+    write_flair_fixture(root, num_tiles=1)
+    return root
+
+
+@pytest.mark.parametrize("use_transform,random_dates", [
+    (False, False), (True, True),
+])
+def test_treesat_sample_shapes(treesat_root, datasets_treesat,
+                               use_transform, random_dates):
+    ds = TreeSatAITSDataset(
+        datasets_treesat.dataset, treesat_root, "train",
+        use_transform=use_transform, random_dates=random_dates,
+        ssl_phase="finetune",
+    )
+    sample = ds[0]
+    assert sample["aerial"].shape == (1, 4, 300, 300)
+    assert sample["s2"].shape == (16, 10, 6, 6)
+    assert sample["s1_asc"].shape == (4, 2, 6, 6)
+    assert sample["s1_des"].shape == (4, 2, 6, 6)
+    assert sample["s2_dates"].shape == (16, 3)
+    assert sample["ref_date"].shape == (1, 3)
+    assert sample["treesat_mlc_thresh"].shape == (15,)
+    for mod in ("aerial", "s2", "s1_asc", "s1_des"):
+        assert sample[mod].dtype == np.float32
+        assert np.isfinite(sample[mod]).all(), mod
+    # aerial normalized by 255, s1 log-scaled / 5
+    assert sample["aerial"].max() <= 1.0
+
+
+def test_treesat_pretrain_split_concats_val(treesat_root, datasets_treesat):
+    ds_pre = TreeSatAITSDataset(
+        datasets_treesat.dataset, treesat_root, "train", ssl_phase="pretrain",
+    )
+    ds_ft = TreeSatAITSDataset(
+        datasets_treesat.dataset, treesat_root, "train", ssl_phase="finetune",
+    )
+    assert len(ds_pre) == 2 * len(ds_ft)  # val folded into pretrain
+
+
+def test_pastis_sample_shapes(pastis_root, datasets_pastis):
+    ds = PASTISHDDataset(
+        datasets_pastis.dataset, pastis_root, "train",
+        use_transform=True, random_dates=False, random_crop=False,
+        ssl_phase="finetune",
+    )
+    assert len(ds) == 1 * 8 * 8  # repeats^2 crop grid
+    sample = ds[0]
+    assert sample["spot"].shape == (1, 3, 160, 160)
+    assert sample["s2"].shape == (16, 10, 16, 16)
+    assert sample["s1_asc"].shape == (4, 2, 16, 16)
+    assert sample["pastis_seg"].shape == (1, 1, 16, 16)
+    assert sample["pastis_mlc"].shape == (18,)
+    # deterministic crop grid: different repeat index -> different crop origin
+    s2_a = ds[0]["s2"]
+    s2_b = ds[63]["s2"]
+    assert not np.array_equal(s2_a, s2_b)
+
+
+def test_flair_sample_shapes(flair_root, datasets_flair):
+    ds = FLAIRDataset(
+        datasets_flair.dataset, flair_root, "train",
+        use_transform=False, ssl_phase="finetune",
+    )
+    sample = ds[0]
+    assert sample["aerial"].shape == (1, 4, 512, 512)
+    assert sample["dem"].shape == (1, 2, 512, 512)
+    assert sample["s2"].shape == (16, 10, 10, 10)
+    assert sample["s1_asc"].shape == (4, 2, 10, 10)
+    assert sample["cosia"].shape == (1, 1, 512, 512)
+    # ignore labels (15-18) remapped to missing_val -1
+    assert not np.isin(sample["cosia"], (15, 16, 17, 18)).any()
+
+
+def test_batch_loader(treesat_root, datasets_treesat):
+    ds = TreeSatAITSDataset(
+        datasets_treesat.dataset, treesat_root, "train", ssl_phase="finetune",
+    )
+    loader = EOBatchLoader(ds, batch_size=2, num_workers=2, seed=1)
+    batches = list(loader)
+    assert len(batches) == 1  # 3 tiles, drop_last
+    batch = batches[0]
+    assert batch["aerial"].shape == (2, 1, 4, 300, 300)
+    assert batch["ref_date"].shape == (2, 1, 3)
+
+
+def test_make_loader_end_to_end(treesat_root, datasets_treesat):
+    cfg = DatasetsConfig(
+        root_dir=str(treesat_root), name_dataset="treesatai_ts",
+    )
+    cfg.treesatai_ts.rel_dir = ""
+    dataset, loader = make_loader(
+        cfg, DataConfig(num_workers=2), "val", "finetune", batch_size=2,
+    )
+    for batch in loader:
+        assert batch["s2"].shape == (2, 16, 10, 6, 6)
+        break

@@ -1,0 +1,63 @@
+"""Minimum end-to-end slice: pretrain -> probe -> finetune on fixture tiles
+(TreeSatAI-TS, fusion_mode=group, MAE tiny, CPU) — SURVEY.md section 7 step 5."""
+
+import numpy as np
+import pytest
+
+from maestro_tpu.conf import (
+    DataConfig,
+    DatasetsConfig,
+    ExperimentConfig,
+    MaskConfig,
+    ModelConfig,
+    OptFinetuneConfig,
+    OptPretrainConfig,
+    OptProbeConfig,
+    RunConfig,
+    TrainerConfig,
+)
+from maestro_tpu.train.runtime import run_experiment
+from tests.fixtures import write_treesat_fixture
+
+
+@pytest.fixture(scope="module")
+def treesat_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("treesat_e2e")
+    write_treesat_fixture(root, num_tiles=2)
+    return root
+
+
+def test_full_experiment_all_phases(treesat_root, tmp_path):
+    datasets = DatasetsConfig(root_dir=str(treesat_root), name_dataset="treesatai_ts")
+    datasets.treesatai_ts.rel_dir = ""
+    cfg = ExperimentConfig(
+        run=RunConfig(exp_dir=str(tmp_path), exp_name="e2e", seed=0),
+        opt_pretrain=OptPretrainConfig(epochs=1, batch_size=2),
+        opt_probe=OptProbeConfig(epochs=1, batch_size=2),
+        opt_finetune=OptFinetuneConfig(
+            epochs=2, batch_size=2,
+            monitor="treesat_mlc_thresh/weighted_f1_val", patience=5,
+        ),
+        data=DataConfig(num_workers=2, use_transform=True, random_dates=True),
+        mask=MaskConfig(),
+        model=ModelConfig(
+            model_size="tiny", fusion_mode="group", inter_depth=3, use_ema=True,
+        ),
+        trainer=TrainerConfig(mesh_data=1, mesh_model=1,
+                              compute_dtype="float32"),
+    )
+    results = run_experiment(cfg, datasets, tmp_path / "work")
+
+    assert set(results) == {"pretrain", "probe", "finetune"}
+    assert np.isfinite(results["pretrain"].history[0]["train/loss_rec"])
+    assert "treesat_mlc_thresh/weighted_f1" in results["probe"].val_metrics
+    assert results["finetune"].test_metrics  # tested on best checkpoint
+    wf1 = results["finetune"].test_metrics["treesat_mlc_thresh/weighted_f1"]
+    assert 0.0 <= wf1 <= 1.0
+
+    # checkpoints on disk for every phase, discoverable by the glob convention
+    from maestro_tpu.train.checkpoint import find_latest_checkpoint
+
+    for phase in ("pretrain", "probe", "finetune"):
+        path = find_latest_checkpoint(tmp_path / "work" / "checkpoints", phase)
+        assert path is not None, phase
