@@ -31,6 +31,8 @@ class PatchSizeConfig:
     dinov2_sat: int = 16
     dofa: int = 16
     croma: int = 8
+    satmae: int = 16
+    prithvi: int = 16
 
     def for_model(self, model: str) -> int:
         if not hasattr(self, model):

@@ -181,20 +181,28 @@ class FusionPlan:
 
 def build_fusion_plan(
     dataset: DatasetConfig,
-    mask: MaskConfig,
-    fusion_mode: str,
+    mask: MaskConfig | None = None,
+    fusion_mode: str = "group",
     model: str = "mae",
+    floor_grid: bool = False,
 ) -> FusionPlan:
-    """Compile a dataset config + fusion mode into a static FusionPlan."""
+    """Compile a dataset config + fusion mode into a static FusionPlan.
+
+    ``floor_grid=True`` (baseline FM adapters) takes ``image_size // patch``
+    even when the patch does not divide — matching a strided conv patch embed
+    that drops the right/bottom remainder.
+    """
     if fusion_mode not in FUSION_MODES:
         msg = f"Invalid fusion mode {fusion_mode!r}; expected {FUSION_MODES}."
         raise ValueError(msg)
+    if mask is None:
+        mask = MaskConfig()
 
     mod_specs: dict[str, ModalityTokenSpec] = {}
     group_of: dict[str, str] = dict(dataset.groups)
     for name, mod in dataset.inputs.items():
         patch = mod.patch_size.for_model(model)
-        if mod.image_size % patch:
+        if mod.image_size % patch and not floor_grid:
             msg = f"Patch size {patch} does not divide image size of {name!r}."
             raise ValueError(msg)
         mod_specs[name] = ModalityTokenSpec(
