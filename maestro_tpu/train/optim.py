@@ -108,11 +108,17 @@ def make_optimizer(
     total_steps: int,
     params,
     num_devices: int = 1,
+    lw_decay: float | None = None,
+    depth: int | None = None,
 ) -> optax.GradientTransformation:
     schedule = onecycle(opt, total_steps, num_devices)
     adamw = optax.adamw(
         learning_rate=schedule, b1=opt.b1, b2=opt.b2, weight_decay=opt.wd,
     )
+    if lw_decay is not None:
+        adamw = optax.chain(adamw, scale_by_tree(
+            lw_multipliers(params, lw_decay, depth or 12),
+        ))
     roles = trainable_roles(phase)
     labels = param_labels(params)
     tx = optax.multi_transform(
@@ -125,3 +131,40 @@ def make_optimizer(
     if opt.accumulate_grad_batches > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=opt.accumulate_grad_batches)
     return tx
+
+
+def scale_by_tree(multipliers) -> optax.GradientTransformation:
+    """Scale each update leaf by a fixed per-leaf multiplier (layer-wise LR)."""
+
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        return jax.tree.map(lambda u, m: u * m, updates, multipliers), state
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def lw_multipliers(params, rate_decay: float, depth: int):
+    """Layer-wise LR decay multipliers (reference baselines/dinov2.py:312-373).
+
+    Encoder block i gets ``rate_decay ** (depth - i)``; patch embeds get
+    ``rate_decay ** (depth + 1)``; heads / norms / everything else 1.0.
+    """
+    import re
+
+    block_re = re.compile(r"block(\d+)")
+
+    def mult(path, _):
+        keys = [str(getattr(k, "key", k)) for k in path]
+        for k in keys:
+            m = block_re.fullmatch(k)
+            if m:
+                return rate_decay ** (depth - int(m.group(1)))
+        if any(k.startswith(("patch_embed", "patch_proj", "embedders")) for k in keys):
+            return rate_decay ** (depth + 1)
+        return 1.0
+
+    return jax.tree_util.tree_map_with_path(mult, params)

@@ -1,0 +1,153 @@
+"""Golden parity: torch modules with reference semantics vs ported JAX.
+
+Builds small torch modules that follow the reference's exact op semantics
+(vit-pytorch Transformer layout, Conv2d+GroupNorm patchify, AttentiveReduce),
+ports their state dicts through maestro_tpu.port, and checks the JAX forward
+matches torch to float32 tolerance.  This is the correctness basis for porting
+the released MAESTRO checkpoints.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+from torch import nn  # noqa: E402
+
+from maestro_tpu.models.embed import PatchEmbed  # noqa: E402
+from maestro_tpu.models.vit import AttentiveReduce, Transformer  # noqa: E402
+from maestro_tpu.port.torch_port import (  # noqa: E402
+    map_attentive_reduce,
+    map_transformer,
+    _conv_to_dense,
+)
+
+DIM, HEADS, DIM_HEAD, MLP, DEPTH = 32, 4, 8, 64, 2
+
+
+class TorchAttention(nn.Module):
+    def __init__(self):
+        super().__init__()
+        inner = HEADS * DIM_HEAD
+        self.norm = nn.LayerNorm(DIM)
+        self.to_qkv = nn.Linear(DIM, inner * 3, bias=False)
+        self.to_out = nn.Sequential(nn.Linear(inner, DIM), nn.Identity())
+
+    def forward(self, x):
+        y = self.norm(x)
+        qkv = self.to_qkv(y).chunk(3, dim=-1)
+        b, l, _ = x.shape
+        q, k, v = (
+            t.reshape(b, l, HEADS, DIM_HEAD).transpose(1, 2) for t in qkv
+        )
+        attn = ((q @ k.transpose(-1, -2)) * DIM_HEAD**-0.5).softmax(dim=-1)
+        out = (attn @ v).transpose(1, 2).reshape(b, l, -1)
+        return self.to_out(out)
+
+
+class TorchFeedForward(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.net = nn.Sequential(
+            nn.LayerNorm(DIM), nn.Linear(DIM, MLP), nn.GELU(), nn.Dropout(0.0),
+            nn.Linear(MLP, DIM), nn.Dropout(0.0),
+        )
+
+    def forward(self, x):
+        return self.net(x)
+
+
+class TorchTransformer(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.norm = nn.LayerNorm(DIM)
+        self.layers = nn.ModuleList(
+            [nn.ModuleList([TorchAttention(), TorchFeedForward()])
+             for _ in range(DEPTH)],
+        )
+
+    def forward(self, x):
+        for attn, ff in self.layers:
+            x = attn(x) + x
+            x = ff(x) + x
+        return self.norm(x)
+
+
+def test_transformer_parity():
+    torch.manual_seed(0)
+    tmodel = TorchTransformer().eval()
+    x = torch.randn(2, 7, DIM)
+    with torch.no_grad():
+        ref = tmodel(x).numpy()
+
+    src = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    params = {"params": map_transformer(src, "", DEPTH)}
+    jmodel = Transformer(
+        dim=DIM, depth=DEPTH, heads=HEADS, dim_head=DIM_HEAD, mlp_dim=MLP,
+        dtype=jnp.float32,
+    )
+    out = jmodel.apply(
+        jax.tree.map(jnp.asarray, params), jnp.asarray(x.numpy()),
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
+
+
+def test_patchify_parity():
+    torch.manual_seed(1)
+    chans, patch, size = 4, 4, 8
+    conv = nn.Conv2d(chans, DIM, kernel_size=patch, stride=patch)
+    norm = nn.GroupNorm(1, DIM)
+    x = torch.randn(2, 3, chans, size, size)  # [B, D, C, H, W]
+    with torch.no_grad():
+        y = conv(x.flatten(0, 1))
+        y = norm(y)
+        # [BD, E, h, w] -> [B, D, (h w), E]
+        ref = y.flatten(2).transpose(1, 2).unflatten(0, (2, 3)).numpy()
+
+    params = {"params": {
+        "proj0": {"kernel": _conv_to_dense(conv.weight.detach().numpy()),
+                  "bias": conv.bias.detach().numpy()},
+        "norm0_scale": norm.weight.detach().numpy(),
+        "norm0_bias": norm.bias.detach().numpy(),
+    }}
+    jmodel = PatchEmbed(
+        band_groups=(chans,), patch_size=patch, embed_dim=DIM, dtype=jnp.float32,
+    )
+    out = jmodel.apply(jax.tree.map(jnp.asarray, params), jnp.asarray(x.numpy()))
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
+
+
+class TorchAttentiveReduce(nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.norm = nn.LayerNorm(DIM)
+        self.norm_fc = nn.LayerNorm(DIM)
+        self.to_kv = nn.Linear(DIM, DIM * 2, bias=False)
+        self.query = nn.Parameter(torch.randn(DIM))
+
+    def forward(self, x):
+        out = self.norm(x)
+        heads, dh = 8, DIM // 8
+        q = self.query.reshape(heads, 1, dh)[None]
+        k, v = self.to_kv(out).chunk(2, dim=-1)
+        b, l, _ = x.shape
+        k = k.reshape(b, l, heads, dh).transpose(1, 2)
+        v = v.reshape(b, l, heads, dh).transpose(1, 2)
+        attn = ((q @ k.transpose(-1, -2)) * dh**-0.5).softmax(dim=-1)
+        out = (attn @ v).transpose(1, 2).reshape(b, DIM)
+        return self.norm_fc(out)
+
+
+def test_attentive_reduce_parity():
+    torch.manual_seed(2)
+    tmodel = TorchAttentiveReduce().eval()
+    x = torch.randn(3, 11, DIM)
+    with torch.no_grad():
+        ref = tmodel(x).numpy()
+    src = {k: v.numpy() for k, v in tmodel.state_dict().items()}
+    params = {"params": map_attentive_reduce(src, "")}
+    jmodel = AttentiveReduce(dim=DIM, heads=8, dtype=jnp.float32)
+    out = jmodel.apply(jax.tree.map(jnp.asarray, params), jnp.asarray(x.numpy()))
+    # double LayerNorm + softmax in fp32: reduction-order noise ~1e-4
+    np.testing.assert_allclose(np.asarray(out), ref, atol=1e-3)
