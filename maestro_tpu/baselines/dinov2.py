@@ -25,6 +25,8 @@ from maestro_tpu.conf.datasets import DatasetsConfig
 Dtype = Any
 
 DINOV2_ARCHS = {
+    # "micro" is a test-only size for fast CPU CI; not a DINOv2 release
+    "micro": (64, 2, 2),
     "small": (384, 12, 6),
     "base": (768, 12, 12),
     "large": (1024, 24, 16),

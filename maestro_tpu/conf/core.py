@@ -104,7 +104,12 @@ class DataConfig:
 
 @dataclass
 class ModelConfig:
-    """MAESTRO model options (reference conf/model.py:8-19)."""
+    """Model options (reference conf/model.py:8-19 + baseline fields :22-34).
+
+    ``model`` selects the flagship MAE ("mae") or a baseline FM adapter
+    ("dinov2" / "dofa" / "croma" / "satmae" / "prithvi"); the baseline-only
+    fields are ignored for the MAE.
+    """
 
     interpolate: str = "nearest"
     fusion_mode: str = "group"
@@ -115,6 +120,13 @@ class ModelConfig:
     loss: str = "l1_norm"
     use_date_enc: bool = True
     use_ema: bool = True
+    # baseline adapter options
+    freeze: bool = False
+    weight_source: str = "imagenat"
+    pretrained_path: str | None = None
+    keep_norm: bool = True
+    add_date_enc: bool = True
+    version: str | None = None
 
 
 @dataclass

@@ -116,9 +116,7 @@ def make_optimizer(
         learning_rate=schedule, b1=opt.b1, b2=opt.b2, weight_decay=opt.wd,
     )
     if lw_decay is not None:
-        adamw = optax.chain(adamw, scale_by_tree(
-            lw_multipliers(params, lw_decay, depth or 12),
-        ))
+        adamw = optax.chain(adamw, scale_by_lw_decay(lw_decay, depth or 12))
     roles = trainable_roles(phase)
     labels = param_labels(params)
     tx = optax.multi_transform(
@@ -133,31 +131,19 @@ def make_optimizer(
     return tx
 
 
-def scale_by_tree(multipliers) -> optax.GradientTransformation:
-    """Scale each update leaf by a fixed per-leaf multiplier (layer-wise LR)."""
-
-    def init_fn(params):
-        del params
-        return optax.EmptyState()
-
-    def update_fn(updates, state, params=None):
-        del params
-        return jax.tree.map(lambda u, m: u * m, updates, multipliers), state
-
-    return optax.GradientTransformation(init_fn, update_fn)
-
-
-def lw_multipliers(params, rate_decay: float, depth: int):
-    """Layer-wise LR decay multipliers (reference baselines/dinov2.py:312-373).
+def scale_by_lw_decay(rate_decay: float, depth: int) -> optax.GradientTransformation:
+    """Layer-wise LR decay (reference baselines/dinov2.py:312-373).
 
     Encoder block i gets ``rate_decay ** (depth - i)``; patch embeds get
     ``rate_decay ** (depth + 1)``; heads / norms / everything else 1.0.
+    Multipliers are derived from the param tree path at update time so the
+    transform composes with optax.multi_transform's masked subtrees.
     """
     import re
 
     block_re = re.compile(r"block(\d+)")
 
-    def mult(path, _):
+    def mult_for(path) -> float:
         keys = [str(getattr(k, "key", k)) for k in path]
         for k in keys:
             m = block_re.fullmatch(k)
@@ -167,4 +153,15 @@ def lw_multipliers(params, rate_decay: float, depth: int):
             return rate_decay ** (depth + 1)
         return 1.0
 
-    return jax.tree_util.tree_map_with_path(mult, params)
+    def init_fn(params):
+        del params
+        return optax.EmptyState()
+
+    def update_fn(updates, state, params=None):
+        del params
+        scaled = jax.tree_util.tree_map_with_path(
+            lambda p, u: u * mult_for(p), updates,
+        )
+        return scaled, state
+
+    return optax.GradientTransformation(init_fn, update_fn)

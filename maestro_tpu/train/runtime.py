@@ -67,9 +67,33 @@ class Experiment:
         self.workdir.mkdir(parents=True, exist_ok=True)
 
         dtype = jnp.bfloat16 if cfg.trainer.compute_dtype == "bfloat16" else jnp.float32
-        self.model, self.plan = build_model(
-            datasets, cfg.mask, cfg.model, dtype=dtype, remat=cfg.trainer.remat,
-        )
+        from maestro_tpu.baselines import BASELINE_MODELS
+
+        self.is_baseline = cfg.model.model in BASELINE_MODELS
+        if self.is_baseline:
+            from maestro_tpu.baselines import build_baseline
+            from maestro_tpu.conf.core import BaselineConfig
+
+            bcfg = BaselineConfig(
+                interpolate=cfg.model.interpolate,
+                fusion_mode=cfg.model.fusion_mode,
+                model=cfg.model.model,
+                model_size=cfg.model.model_size,
+                type_head=cfg.model.type_head,
+                freeze=cfg.model.freeze,
+                weight_source=cfg.model.weight_source,
+                pretrained_path=cfg.model.pretrained_path,
+                keep_norm=cfg.model.keep_norm,
+                add_date_enc=cfg.model.add_date_enc,
+                use_ema=cfg.model.use_ema,
+                version=cfg.model.version,
+            )
+            self.model = build_baseline(datasets, bcfg, dtype=dtype)
+            self.plan = self.model.plan
+        else:
+            self.model, self.plan = build_model(
+                datasets, cfg.mask, cfg.model, dtype=dtype, remat=cfg.trainer.remat,
+            )
         self.mesh = make_mesh(cfg.trainer.mesh_data, cfg.trainer.mesh_model)
         self.params = None  # lazily initialized per phase (heads appear on use)
         self._warm_start: str | None = None  # load_* weights-only path
@@ -132,7 +156,15 @@ class Experiment:
         steps_per_epoch = max(len(train_loader) // opt.accumulate_grad_batches, 1)
         total_steps = steps_per_epoch * opt.epochs
         num_devices = self.mesh.devices.size
-        tx = make_optimizer(opt, phase, total_steps, params, num_devices)
+        # frozen baseline backbones train heads only, like probing
+        freeze_phase = (
+            "probe" if (self.is_baseline and cfg.model.freeze and phase != "pretrain")
+            else phase
+        )
+        tx = make_optimizer(
+            opt, freeze_phase, total_steps, params, num_devices,
+            lw_decay=getattr(opt, "lw_decay", None),
+        )
         state = TrainState.create(params, tx, use_ema=cfg.model.use_ema)
         self.params = None  # freed into state
 
@@ -287,6 +319,8 @@ def run_experiment(
             continue
         if phase != "pretrain" and not datasets.dataset.targets:
             continue  # pretrain-only datasets (S2-NAIP)
+        if phase == "pretrain" and exp.is_baseline:
+            continue  # baseline adapters only probe/finetune
         loaders = {}
         for stage in ("train", "val", "test"):
             _, loaders[stage] = make_loader(
