@@ -43,12 +43,9 @@ class Attention(nn.Module):
         k = k.reshape(shape).transpose(0, 2, 1, 3)
         v = v.reshape(shape).transpose(0, 2, 1, 3)
 
-        scale = self.dim_head**-0.5
-        logits = jnp.einsum(
-            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32,
-        )
-        attn = jax.nn.softmax(logits * scale, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+        from maestro_tpu.ops.attention import mha
+
+        out = mha(q, k, v, sm_scale=self.dim_head**-0.5)
         out = out.transpose(0, 2, 1, 3).reshape(b, l, inner)
         return nn.Dense(self.dim, dtype=self.dtype, name="out")(out)
 

@@ -114,7 +114,11 @@ def shuffle_mask(
     noise = jax.random.uniform(key, (b, l))
     noise = noise * (1.0 - struct.astype(noise.dtype))
     ids_shuffle = jnp.argsort(noise, axis=1)  # masked candidates first
-    rank = jnp.argsort(ids_shuffle, axis=1)
+    # rank via scatter (cheaper than a second full argsort on TPU)
+    iota = jnp.broadcast_to(jnp.arange(l, dtype=jnp.int32), (b, l))
+    rank = jnp.zeros((b, l), jnp.int32).at[
+        jnp.arange(b)[:, None], ids_shuffle
+    ].set(iota, unique_indices=True, indices_are_sorted=False)
     mask_rec = rank < num_masked
 
     ids_keep = jnp.sort(ids_shuffle[:, num_masked:], axis=1)

@@ -114,6 +114,41 @@ class Experiment:
     def _log_scalar(self, tag: str, value: float, step: int) -> None:
         self.writer.add_scalar(tag, value, step)
 
+    def _append_jsonl(self, record: dict) -> None:
+        """Plain-file experiment tracking (ClearML-equivalent sink)."""
+        import json
+
+        with (self.workdir / "metrics.jsonl").open("a") as f:
+            f.write(json.dumps(record, default=float) + "\n")
+
+    def _log_images(self, phase, epoch, state, val_loader, rng) -> None:
+        """Per-epoch image logging (reference train/logger.py ImageLogger)."""
+        from maestro_tpu.train.logging import EpochImageLogger
+
+        np_batch = next(iter(val_loader))
+        batch = self._device_batch(np_batch)
+        logger = EpochImageLogger(
+            self.writer, self.datasets.dataset.log_inputs,
+            self.cfg.run.logged_images_per_epoch,
+        )
+        if phase == "pretrain":
+            pixels, masks, targets = self.model.apply(
+                state.params, batch, "pretrain", rngs={"mask": rng},
+            )
+            logger.log_reconstruction(phase, "val", epoch, targets, pixels, masks)
+            return
+        logits = self.model.apply(state.params, batch, phase)
+        for hs in self.model.head_specs:
+            if hs.type_target != "segment":
+                continue
+            image = np_batch[self.datasets.dataset.log_inputs[0]][0, 0]
+            logger.log_segmentation(
+                phase, "val", epoch, hs.name, image,
+                np.asarray(logits[hs.name][0, 0]),
+                np_batch[hs.name][0, 0, 0],
+                hs.num_classes, hs.missing_val,
+            )
+
     # ------------------------------------------------------------------
     def init_params(self, phase: str, batch: dict, seed: int):
         key = jax.random.PRNGKey(seed)
@@ -213,7 +248,14 @@ class Experiment:
             for k, v in epoch_log.items():
                 if isinstance(v, (int, float)):
                     self._log_scalar(f"{phase}_{k}", v, epoch)
+            self._append_jsonl({"phase": phase, **epoch_log})
             log.info("%s epoch %d: %s", phase, epoch, epoch_log)
+
+            if self.cfg.run.logged_images_per_epoch > 0 and val_loader is not None:
+                try:
+                    self._log_images(phase, epoch, state, val_loader, rng)
+                except Exception:  # noqa: BLE001 - viz must never kill training
+                    log.exception("image logging failed")
 
             # checkpoint + monitor
             score = _lookup_monitor(val_logs, monitor) if monitor else None

@@ -29,12 +29,17 @@ def make_pretrain_step(
     tx: optax.GradientTransformation,
     loss_type: str = "l1_norm",
     donate: bool = True,
+    fused_loss: bool = True,
 ) -> Callable:
+    from maestro_tpu.ops.fused_loss import fused_reconstruction_loss
+
+    loss_impl = fused_reconstruction_loss if fused_loss else reconstruction_loss
+
     def loss_fn(params, batch, rng):
         pixels, masks, targets = model.apply(
             params, batch, "pretrain", rngs={"mask": rng},
         )
-        return reconstruction_loss(plan, targets, pixels, masks, loss_type)
+        return loss_impl(plan, targets, pixels, masks, loss_type)
 
     def step(state: TrainState, batch: dict, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)

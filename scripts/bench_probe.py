@@ -31,68 +31,58 @@ def timeit(fn, *args, steps=10):
     return (time.perf_counter() - t0) / steps
 
 
-def main():
+def main(which: str):
     datasets = DatasetsConfig(name_dataset="flair")
-    mask_cfgs = {
-        "struct": MaskConfig(),
-        "nostruct": MaskConfig(mask_mod=None, mask_bands=None, mask_dates=None,
-                               mask_loc=None),
+    mask = (
+        MaskConfig(mask_mod=None, mask_bands=None, mask_dates=None, mask_loc=None)
+        if which == "nostruct"
+        else MaskConfig()
+    )
+    model, plan = build_model(
+        datasets, mask,
+        ModelConfig(model_size="medium", fusion_mode="group", inter_depth=3),
+    )
+    batch = {
+        k: jax.device_put(jnp.asarray(v))
+        for k, v in make_synthetic_batch(datasets.dataset, BS).items()
     }
-    results = {}
-    for tag, mask in mask_cfgs.items():
-        model, plan = build_model(
-            datasets, mask,
-            ModelConfig(model_size="medium", fusion_mode="group", inter_depth=3),
-        )
-        batch = {
-            k: jax.device_put(jnp.asarray(v))
-            for k, v in make_synthetic_batch(datasets.dataset, BS).items()
-        }
-        key = jax.random.PRNGKey(0)
-        params = jax.jit(
-            lambda b: model.init({"params": key, "mask": key}, b, "pretrain"),
-        )(batch)
+    key = jax.random.PRNGKey(0)
+    params = jax.jit(
+        lambda b: model.init({"params": key, "mask": key}, b, "pretrain"),
+    )(batch)
 
+    def emit(name, value):
+        print(json.dumps({name: round(value, 4)}), flush=True)
+
+    if which in ("fwd", "nostruct"):
         fwd_loss = jax.jit(lambda p, b, k: reconstruction_loss(
             plan, *_reorder(model.apply(p, b, "pretrain", rngs={"mask": k})),
         ))
-        results[f"fwd_loss_{tag}"] = timeit(fwd_loss, params, batch, key)
+        emit(f"fwd_loss_{which}", timeit(fwd_loss, params, batch, key))
+    if which == "fwd":
+        fwd_sum = jax.jit(lambda p, b, k: sum(
+            x.sum() for x in model.apply(p, b, "pretrain", rngs={"mask": k})[0]
+            .values()
+        ))
+        emit("fwd_sum_only", timeit(fwd_sum, params, batch, key))
+    if which == "bwd":
+        grad_fn = jax.jit(jax.grad(lambda p, b, k: reconstruction_loss(
+            plan, *_reorder(model.apply(p, b, "pretrain", rngs={"mask": k})),
+        )))
+        emit("fwd_bwd", timeit(
+            lambda p, b, k: jax.tree.leaves(grad_fn(p, b, k))[0],
+            params, batch, key,
+        ))
+    if which == "step":
+        tx = make_optimizer(OptPretrainConfig(batch_size=BS), "pretrain",
+                            1000, params)
+        state = TrainState.create(params, tx)
+        from maestro_tpu.train.steps import make_pretrain_step
 
-        if tag == "struct":
-            fwd_sum = jax.jit(lambda p, b, k: sum(
-                x.sum() for x in model.apply(
-                    p, b, "pretrain", rngs={"mask": k},
-                )[0].values()
-            ))
-            results["fwd_sum_only"] = timeit(fwd_sum, params, batch, key)
-
-            grad_fn = jax.jit(jax.grad(lambda p, b, k: reconstruction_loss(
-                plan, *_reorder(model.apply(p, b, "pretrain", rngs={"mask": k})),
-            )))
-            results["fwd_bwd"] = timeit(
-                lambda p, b, k: jax.tree.leaves(grad_fn(p, b, k))[0],
-                params, batch, key,
-            )
-
-            tx = make_optimizer(OptPretrainConfig(batch_size=BS), "pretrain",
-                                1000, params)
-            state = TrainState.create(params, tx)
-            from maestro_tpu.train.steps import make_pretrain_step
-
-            step = make_pretrain_step(model, plan, tx, donate=False)
-            results["full_step"] = timeit(
-                lambda s, b, k: step(s, b, k)[1]["loss_rec"], state, batch, key,
-            )
-            # probe/finetune forward for reference
-            params_ft = jax.jit(
-                lambda b: model.init({"params": key, "mask": key}, b, "finetune"),
-            )(batch)
-            fwd_ft = jax.jit(lambda p, b: jax.tree.leaves(
-                model.apply(p, b, "finetune"),
-            )[0])
-            results["fwd_finetune"] = timeit(fwd_ft, params_ft, batch)
-
-    print(json.dumps({k: round(v, 4) for k, v in results.items()}), flush=True)
+        step = make_pretrain_step(model, plan, tx, donate=False)
+        emit("full_step", timeit(
+            lambda s, b, k: step(s, b, k)[1]["loss_rec"], state, batch, key,
+        ))
 
 
 def _reorder(out):
@@ -101,4 +91,4 @@ def _reorder(out):
 
 
 if __name__ == "__main__":
-    main()
+    main(sys.argv[1] if len(sys.argv) > 1 else "fwd")

@@ -1,0 +1,61 @@
+"""Fused patch-group-norm loss: equivalence with the XLA reference path."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from maestro_tpu.conf import DatasetsConfig, MaskConfig
+from maestro_tpu.ops.fused_loss import fused_reconstruction_loss
+from maestro_tpu.specs.fusion import build_fusion_plan
+from maestro_tpu.train.losses import reconstruction_loss
+
+
+def _setup(seed=0):
+    ds = DatasetsConfig(name_dataset="treesatai_ts").dataset
+    plan = build_fusion_plan(ds, MaskConfig(), "group")
+    rng = np.random.default_rng(seed)
+    targets, rec, masks = {}, {}, {}
+    for name, spec in plan.mod_specs.items():
+        shape = (2, spec.num_dates, spec.num_channels, spec.image_size,
+                 spec.image_size)
+        targets[name] = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        rec[name] = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        token_mask = rng.random((2, spec.date_axis, spec.tokens_per_date)) < 0.75
+        from maestro_tpu.ops.patch import expand_token_mask_to_pixels
+
+        masks[name] = expand_token_mask_to_pixels(
+            jnp.asarray(token_mask), spec.patch_size, spec.num_channels,
+        )
+    return plan, targets, rec, masks
+
+
+@pytest.mark.parametrize("loss_type", ["l1_norm", "l2_norm"])
+def test_fused_matches_reference(loss_type):
+    plan, targets, rec, masks = _setup()
+    ref = reconstruction_loss(plan, targets, rec, masks, loss_type)
+    fused = fused_reconstruction_loss(plan, targets, rec, masks, loss_type)
+    np.testing.assert_allclose(float(fused), float(ref), rtol=1e-5)
+
+
+def test_fused_gradients_match():
+    plan, targets, rec, masks = _setup(1)
+
+    ref_grad = jax.grad(
+        lambda r: reconstruction_loss(plan, targets, r, masks, "l2_norm"),
+    )(rec)
+    fused_grad = jax.grad(
+        lambda r: fused_reconstruction_loss(plan, targets, r, masks, "l2_norm"),
+    )(rec)
+    for name in rec:
+        np.testing.assert_allclose(
+            np.asarray(fused_grad[name]), np.asarray(ref_grad[name]),
+            atol=1e-5, err_msg=name,
+        )
+
+
+def test_fused_non_norm_falls_back():
+    plan, targets, rec, masks = _setup(2)
+    ref = reconstruction_loss(plan, targets, rec, masks, "l1")
+    fused = fused_reconstruction_loss(plan, targets, rec, masks, "l1")
+    np.testing.assert_allclose(float(fused), float(ref), rtol=1e-6)
