@@ -33,7 +33,7 @@ class Attention(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         inner = self.heads * self.dim_head
-        y = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         qkv = nn.Dense(inner * 3, use_bias=False, dtype=self.dtype, name="qkv")(y)
         q, k, v = jnp.split(qkv, 3, axis=-1)
 
@@ -59,7 +59,7 @@ class FeedForward(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        y = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         y = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(y)
         y = nn.gelu(y, approximate=False)
         return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(y)
@@ -105,7 +105,7 @@ class Transformer(nn.Module):
                 dtype=self.dtype,
                 name=f"block{i}",
             )(x)
-        return nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
 
 
 class AttentiveReduce(nn.Module):
@@ -121,7 +121,7 @@ class AttentiveReduce(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        y = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         kv = nn.Dense(self.dim * 2, use_bias=False, dtype=self.dtype, name="to_kv")(y)
         k, v = jnp.split(kv, 2, axis=-1)
 
@@ -140,4 +140,4 @@ class AttentiveReduce(nn.Module):
         attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
         out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
         out = out.transpose(0, 2, 1, 3).reshape(b, self.dim)
-        return nn.LayerNorm(dtype=self.dtype, name="norm_fc")(out)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_fc")(out)
