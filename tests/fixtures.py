@@ -109,6 +109,45 @@ def write_pastis_fixture(root: Path, num_tiles: int = 1, seed: int = 0) -> None:
         df.to_csv(root / f"{split}.csv", index=False)
 
 
+def write_s2naip_fixture(root: Path, num_tiles: int = 2, seed: int = 0) -> None:
+    """S2-NAIP urban: NAIP png + stacked sentinel npy mirrors + date txts."""
+    rng = np.random.default_rng(seed)
+    for d in ("naip", "landsat", "sentinel2", "sentinel1",
+              "dates/naip", "dates/landsat", "dates/s2", "dates/s1"):
+        (root / d).mkdir(parents=True, exist_ok=True)
+
+    names = [f"tile_{i}" for i in range(num_tiles)]
+    for name in names:
+        naip = rng.integers(0, 255, (512, 512, 4), dtype=np.uint8)
+        Image.fromarray(naip, mode="RGBA").save(root / "naip" / f"{name}.png")
+        (root / "dates" / "naip" / f"{name}.txt").write_text(
+            f"m_naip_x_20200615_{name}_20200615",
+        )
+        t_ls, t_s2, t_s1 = 18, 20, 10
+        np.save(root / "landsat" / f"{name}_stacked.npy",
+                rng.integers(0, 8000, (t_ls, 11, 64, 64)).astype(np.int16))
+        np.save(root / "sentinel2" / f"{name}_stacked.npy",
+                rng.integers(0, 8000, (t_s2, 10, 64, 64)).astype(np.int16))
+        np.save(root / "sentinel1" / f"{name}.npy",
+                np.abs(rng.normal(1, 0.3, (t_s1, 2, 64, 64))).astype(np.float32))
+
+        def prods(n, idx):
+            out = []
+            for m, d in zip(rng.integers(1, 13, n), rng.integers(1, 28, n)):
+                parts = ["P"] * (idx + 2)
+                parts[-idx] = f"2020{m:02d}{d:02d}T000000"
+                out.append("_".join(parts))
+            return "\n".join(out)
+
+        (root / "dates" / "landsat" / f"{name}.txt").write_text(prods(t_ls, 4))
+        (root / "dates" / "s2" / f"{name}.txt").write_text(prods(t_s2, 5))
+        (root / "dates" / "s1" / f"{name}.txt").write_text(prods(t_s1, 5))
+
+    df = pd.DataFrame({"name": names})
+    for split in ("train", "val", "test"):
+        df.to_csv(root / f"{split}.csv", index=False)
+
+
 def write_flair_fixture(root: Path, num_tiles: int = 1, seed: int = 0) -> None:
     """FLAIR-HUB: per-modality npy tile mirrors + CSV date metadata."""
     rng = np.random.default_rng(seed)

@@ -8,12 +8,14 @@ from maestro_tpu.conf import DataConfig, DatasetsConfig
 from maestro_tpu.data.datasets import (
     FLAIRDataset,
     PASTISHDDataset,
+    S2NAIPDataset,
     TreeSatAITSDataset,
 )
 from maestro_tpu.data.loader import EOBatchLoader, make_loader
 from tests.fixtures import (
     write_flair_fixture,
     write_pastis_fixture,
+    write_s2naip_fixture,
     write_treesat_fixture,
 )
 
@@ -106,6 +108,31 @@ def test_flair_sample_shapes(flair_root, datasets_flair):
     assert sample["cosia"].shape == (1, 1, 512, 512)
     # ignore labels (15-18) remapped to missing_val -1
     assert not np.isin(sample["cosia"], (15, 16, 17, 18)).any()
+
+
+@pytest.fixture(scope="session")
+def s2naip_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("s2naip")
+    write_s2naip_fixture(root, num_tiles=2)
+    return root
+
+
+def test_s2naip_sample_shapes(s2naip_root, datasets_s2naip):
+    ds = S2NAIPDataset(
+        datasets_s2naip.dataset, s2naip_root, "train",
+        use_transform=True, random_dates=False, random_crop=False,
+        ssl_phase="pretrain",
+    )
+    # pretrain-only dataset: val AND test folded into train, 5x5 crop grid
+    assert len(ds) == (2 * 3) * 5 * 5
+    sample = ds[0]
+    assert sample["aerial"].shape == (1, 4, 96, 96)  # native crop, NIR-first
+    assert sample["spot"].shape == (1, 3, 96, 96)
+    assert sample["s2"].shape == (16, 10, 12, 12)
+    assert sample["s1"].shape == (4, 2, 12, 12)
+    assert sample["ref_date"].shape == (1, 3)
+    for mod in ("aerial", "spot", "s2", "s1"):
+        assert np.isfinite(sample[mod]).all(), mod
 
 
 def test_batch_loader(treesat_root, datasets_treesat):
