@@ -1,0 +1,68 @@
+"""Checkpoint save/restore roundtrips + dual restore semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from maestro_tpu.train import checkpoint as ckpt
+from maestro_tpu.train.state import TrainState
+
+
+def _state(seed=0, extra_leaf=False):
+    key = jax.random.PRNGKey(seed)
+    params = {
+        "params": {
+            "dense": {"kernel": jax.random.normal(key, (4, 8)),
+                      "bias": jnp.zeros(8)},
+        },
+    }
+    if extra_leaf:
+        params["params"]["head"] = {"kernel": jnp.ones((8, 2))}
+    tx = optax.adamw(1e-3)
+    return TrainState.create(params, tx, use_ema=True), tx
+
+
+def test_save_restore_roundtrip(tmp_path):
+    state, tx = _state()
+    state = state.replace(step=jnp.asarray(7, jnp.int32))
+    path = ckpt.save_checkpoint(tmp_path, "pretrain", 3, state)
+    assert path.name == "pretrain-epoch=3"
+
+    fresh, _ = _state(seed=1)
+    restored = ckpt.restore_state(path, fresh)
+    assert int(restored.step) == 7
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["params"]["dense"]["kernel"]),
+        np.asarray(state.params["params"]["dense"]["kernel"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(restored.ema_params["params"]["dense"]["kernel"]),
+        np.asarray(state.ema_params["params"]["dense"]["kernel"]),
+    )
+
+
+def test_find_latest_checkpoint(tmp_path):
+    state, _ = _state()
+    for epoch in (0, 2, 10):
+        ckpt.save_checkpoint(tmp_path / "checkpoints", "finetune", epoch, state)
+    found = ckpt.find_latest_checkpoint(tmp_path, "finetune")
+    assert found is not None
+    assert found.name == "finetune-epoch=10"
+    assert ckpt.find_latest_checkpoint(tmp_path, "probe") is None
+
+
+def test_load_weights_strict_false(tmp_path):
+    """Warm start: matching leaves copied, extra leaves keep fresh init."""
+    state, _ = _state(seed=0)
+    path = ckpt.save_checkpoint(tmp_path, "pretrain", 0, state)
+
+    fresh, _ = _state(seed=1, extra_leaf=True)  # has a head the ckpt lacks
+    merged = ckpt.load_weights(path, fresh.params)
+    np.testing.assert_array_equal(
+        np.asarray(merged["params"]["dense"]["kernel"]),
+        np.asarray(state.params["params"]["dense"]["kernel"]),
+    )
+    np.testing.assert_array_equal(
+        np.asarray(merged["params"]["head"]["kernel"]), np.ones((8, 2)),
+    )

@@ -1,0 +1,41 @@
+"""Grain pipeline parity with the thread loader."""
+
+import numpy as np
+import pytest
+
+from maestro_tpu.data.datasets import TreeSatAITSDataset
+from tests.fixtures import write_treesat_fixture
+
+grain = pytest.importorskip("grain")
+
+from maestro_tpu.data.grain_loader import GrainBatchLoader  # noqa: E402
+
+
+@pytest.fixture(scope="module")
+def treesat_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("treesat_grain")
+    write_treesat_fixture(root, num_tiles=4)
+    return root
+
+
+def test_grain_batches(treesat_root, datasets_treesat):
+    ds = TreeSatAITSDataset(
+        datasets_treesat.dataset, treesat_root, "train", ssl_phase="finetune",
+    )
+    loader = GrainBatchLoader(ds, batch_size=2, num_workers=0, seed=0)
+    batches = list(loader)
+    assert len(batches) == 2
+    b = batches[0]
+    assert b["aerial"].shape == (2, 1, 4, 300, 300)
+    assert b["s2"].shape == (2, 16, 10, 6, 6)
+    assert np.isfinite(b["aerial"]).all()
+
+
+def test_grain_sharding(treesat_root, datasets_treesat):
+    ds = TreeSatAITSDataset(
+        datasets_treesat.dataset, treesat_root, "train", ssl_phase="finetune",
+    )
+    l0 = GrainBatchLoader(ds, batch_size=2, num_workers=0, shard_index=0,
+                          shard_count=2, shuffle=False)
+    assert len(l0) == 1
+    assert len(list(l0)) == 1

@@ -1,0 +1,103 @@
+"""Metric correctness against hand-computed values."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from maestro_tpu.train import metrics as M
+
+
+def test_monolabel_confusion_and_scores():
+    cm = M.monolabel_init(3)
+    logits = jnp.asarray([
+        [2.0, 0.1, 0.0],  # pred 0
+        [0.0, 3.0, 0.0],  # pred 1
+        [0.0, 0.0, 1.0],  # pred 2
+        [5.0, 0.0, 0.0],  # pred 0
+    ])
+    labels = jnp.asarray([0, 1, 1, 2])
+    valid = jnp.asarray([True, True, True, True])
+    cm = M.monolabel_update(cm, logits, labels, valid)
+    expected_cm = np.array([[1, 0, 0], [0, 1, 1], [1, 0, 0]])
+    np.testing.assert_array_equal(np.asarray(cm), expected_cm)
+
+    out = M.monolabel_compute(cm)
+    assert float(out["overall_accuracy"]) == 0.5
+    # per class: tp=[1,1,0], fp=[1,0,1], fn=[0,1,1]
+    f1 = [2 / 3, 2 / 3, 0.0]
+    iou = [0.5, 0.5, 0.0]
+    np.testing.assert_allclose(float(out["average_f1"]), np.mean(f1), rtol=1e-6)
+    np.testing.assert_allclose(float(out["average_iou"]), np.mean(iou), rtol=1e-6)
+
+
+def test_monolabel_ignores_invalid_rows():
+    cm = M.monolabel_init(2)
+    logits = jnp.asarray([[1.0, 0.0], [0.0, 1.0]])
+    labels = jnp.asarray([0, -1])
+    cm = M.monolabel_update(cm, logits, labels, jnp.asarray([True, False]))
+    assert int(np.asarray(cm).sum()) == 1
+
+
+def test_monolabel_support_only_classes():
+    """Classes with no ground-truth support are excluded from macro averages."""
+    cm = M.monolabel_init(3)
+    # only classes 0 and 1 appear in targets; all predictions correct
+    logits = jnp.asarray([[3.0, 0, 0], [0, 3.0, 0]])
+    labels = jnp.asarray([0, 1])
+    cm = M.monolabel_update(cm, logits, labels, jnp.ones(2, bool))
+    out = M.monolabel_compute(cm)
+    assert float(out["average_f1"]) == 1.0
+    assert float(out["average_iou"]) == 1.0
+
+
+def test_multilabel_weighted_f1():
+    state = M.multilabel_init(2)
+    # label 0: preds [T, T, F] vs truth [T, F, F] -> tp=1 fp=1 fn=0
+    # label 1: preds [T, F, F] vs truth [T, T, F] -> tp=1 fp=0 fn=1
+    logits = jnp.asarray([[5.0, 5.0], [5.0, -5.0], [-5.0, -5.0]])
+    labels = jnp.asarray([[1, 1], [0, 1], [0, 0]])
+    state = M.multilabel_update(state, logits, labels, jnp.ones(3, bool))
+    out = M.multilabel_compute(state)
+    f1_0 = 2 * 1 / (2 * 1 + 1 + 0)
+    f1_1 = 2 * 1 / (2 * 1 + 0 + 1)
+    np.testing.assert_allclose(float(out["average_f1"]), (f1_0 + f1_1) / 2,
+                               rtol=1e-6)
+    # weights: label supports are 1 and 2 of 3 positives total
+    np.testing.assert_allclose(
+        float(out["weighted_f1"]), f1_0 * (1 / 3) + f1_1 * (2 / 3), rtol=1e-6,
+    )
+
+
+def test_multilabel_ap_perfect_ranking():
+    state = M.multilabel_init(1)
+    # scores perfectly separate positives from negatives -> AP = 1
+    logits = jnp.asarray([[4.0], [3.0], [-3.0], [-4.0]])
+    labels = jnp.asarray([[1], [1], [0], [0]])
+    state = M.multilabel_update(state, logits, labels, jnp.ones(4, bool))
+    out = M.multilabel_compute(state)
+    np.testing.assert_allclose(float(out["average_ap"]), 1.0, atol=1e-3)
+
+
+def test_multilabel_ap_matches_exact():
+    """Binned AP tracks the exact all-scores AP within bin resolution."""
+    rng = np.random.default_rng(0)
+    n, k = 512, 4
+    scores = rng.normal(size=(n, k)).astype(np.float32)
+    labels = (rng.random((n, k)) < 0.3).astype(np.int32)
+
+    state = M.multilabel_init(k)
+    state = M.multilabel_update(
+        state, jnp.asarray(scores), jnp.asarray(labels), jnp.ones(n, bool),
+    )
+    out = M.multilabel_compute(state)
+
+    # exact AP per label (sklearn-style step integration)
+    def exact_ap(s, y):
+        order = np.argsort(-s)
+        y = y[order]
+        tp = np.cumsum(y)
+        precision = tp / (np.arange(len(y)) + 1)
+        return (precision * y).sum() / max(y.sum(), 1)
+
+    probs = 1 / (1 + np.exp(-scores))
+    exact = np.mean([exact_ap(probs[:, j], labels[:, j]) for j in range(k)])
+    np.testing.assert_allclose(float(out["average_ap"]), exact, atol=0.02)
