@@ -26,7 +26,7 @@ PEAK_FLOPS = {
     "v6e": 918e12,
 }
 
-BATCH_SIZE = 32
+BATCH_SIZE = int(__import__("os").environ.get("BENCH_BS", 64))
 WARMUP_STEPS = 3
 BENCH_STEPS = 10
 

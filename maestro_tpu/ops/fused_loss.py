@@ -178,12 +178,16 @@ def _use_pallas(n: int, f: int) -> bool:
 
 # --------------------------------------------------------------------------
 def fused_reconstruction_loss(plan, targets, pixels_rec, mask_pixels,
-                              loss_type: str = "l1_norm") -> jnp.ndarray:
+                              loss_type: str = "l1_norm",
+                              stage_dtype=None) -> jnp.ndarray:
     """Drop-in for train.losses.reconstruction_loss using the fused kernel.
 
     Requires a ``_norm`` loss variant and single-band-group modalities (the
     four reference datasets all have one band group per modality); falls back
-    to the XLA loss otherwise.
+    to the XLA loss otherwise.  ``stage_dtype`` (default bf16 on TPU) is the
+    dtype of the patchified staging buffers — normalization statistics are
+    always computed in fp32 inside the kernel; bf16 staging halves the HBM
+    traffic of the patch-extraction copies.
     """
     from maestro_tpu.ops.patch import patchify_pixels
     from maestro_tpu.train.losses import reconstruction_loss
@@ -192,6 +196,10 @@ def fused_reconstruction_loss(plan, targets, pixels_rec, mask_pixels,
         return reconstruction_loss(plan, targets, pixels_rec, mask_pixels,
                                    loss_type)
     square = loss_type.startswith("l2")
+    if stage_dtype is None:
+        stage_dtype = (
+            jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+        )
 
     total, weights = 0.0, 0.0
     for name, spec in plan.mod_specs.items():
@@ -200,8 +208,8 @@ def fused_reconstruction_loss(plan, targets, pixels_rec, mask_pixels,
                                        loss_type)
         p = spec.patch_size
         # patches [B, D, L, C*p*p] -> rows [N, F]
-        t = patchify_pixels(targets[name].astype(jnp.float32), p)
-        r = patchify_pixels(pixels_rec[name].astype(jnp.float32), p)
+        t = patchify_pixels(targets[name].astype(stage_dtype), p)
+        r = patchify_pixels(pixels_rec[name].astype(stage_dtype), p)
         b, d, l, f = t.shape
         t, r = t.reshape(b * d * l, f), r.reshape(b * d * l, f)
         # per-token mask: one band group -> mask constant over the patch
