@@ -92,7 +92,6 @@ def map_attentive_reduce(src: dict, prefix: str) -> dict[str, Any]:
 def port_mae_state_dict(
     src: dict[str, np.ndarray],
     plan,
-    arch,
     head_specs=(),
     torch_prefix: str = "model.",
 ) -> dict[str, Any]:
@@ -130,7 +129,6 @@ def port_mae_state_dict(
         if key in src:
             params[f"mask_token_{name}"] = src[key]
 
-    enc_depth = arch.depth - getattr(arch, "inter_depth", 0)
     for enc in plan.encoder_names:
         if f"encoder.{enc}.norm.weight" in src:
             depth = _count_blocks(src, f"encoder.{enc}.layers.")
@@ -170,7 +168,6 @@ def port_mae_state_dict(
                 head["reduce"] = map_attentive_reduce(src, f"{prefix}reduce.")
             params[f"heads_{hs.name}"] = head
 
-    del enc_depth
     return {"params": params}
 
 
