@@ -54,6 +54,45 @@ def make_pretrain_step(
     return jax.jit(step, donate_argnums=(0,) if donate else ())
 
 
+def make_pretrain_multistep(
+    model: MaestroMAE,
+    plan: FusionPlan,
+    tx: optax.GradientTransformation,
+    loss_type: str = "l1_norm",
+    donate: bool = True,
+    fused_loss: bool = True,
+) -> Callable:
+    """K train steps per host dispatch via lax.scan over a stacked super-batch.
+
+    Amortizes per-dispatch host/runtime latency (profiled at ~28 ms/step over
+    the remote tunnel).  ``batch_stack`` leaves are [K, B, ...]; returns the
+    final state and per-step losses [K].
+    """
+    from maestro_tpu.ops.fused_loss import fused_reconstruction_loss
+
+    loss_impl = fused_reconstruction_loss if fused_loss else reconstruction_loss
+
+    def loss_fn(params, batch, rng):
+        pixels, masks, targets = model.apply(
+            params, batch, "pretrain", rngs={"mask": rng},
+        )
+        return loss_impl(plan, targets, pixels, masks, loss_type)
+
+    def one_step(state: TrainState, batch: dict):
+        rng = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(
+            step=state.step + 1, params=params, opt_state=opt_state,
+        ), loss
+
+    def multistep(state: TrainState, batch_stack: dict):
+        return jax.lax.scan(one_step, state, batch_stack)
+
+    return jax.jit(multistep, donate_argnums=(0,) if donate else ())
+
+
 def make_pretrain_eval_step(
     model: MaestroMAE,
     plan: FusionPlan,
