@@ -68,7 +68,7 @@ class BiasedSelfAttention(nn.Module):
     def __call__(self, x: jnp.ndarray, bias: jnp.ndarray) -> jnp.ndarray:
         b, l, _ = x.shape
         dh = self.dim // self.heads
-        y = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         qkv = nn.Dense(self.dim * 3, use_bias=False, dtype=self.dtype, name="qkv")(y)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         q = q.reshape(b, l, self.heads, dh).transpose(0, 2, 1, 3)
@@ -92,7 +92,7 @@ class BiasedCrossAttention(nn.Module):
     def __call__(self, x, context, bias):
         b, l, _ = x.shape
         dh = self.dim // self.heads
-        norm = nn.LayerNorm(dtype=self.dtype, name="norm")
+        norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")
         xq, ctx = norm(x), norm(context)
         q = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_q")(xq)
         k = nn.Dense(self.dim, use_bias=False, dtype=self.dtype, name="to_k")(ctx)
@@ -115,7 +115,7 @@ class CromaFFN(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        y = nn.LayerNorm(dtype=self.dtype, name="norm")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         y = nn.Dense(self.dim * 4, dtype=self.dtype, name="fc1")(y)
         y = nn.gelu(y, approximate=False)
         return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(y)
@@ -147,7 +147,7 @@ class CromaViT(nn.Module):
             tokens = tokens + CromaFFN(self.dim, dtype=self.dtype, name=f"ffn{i}")(
                 tokens,
             )
-        return nn.LayerNorm(dtype=self.dtype, name="norm")(tokens)
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(tokens)
 
 
 class CromaBaseline(BaselineShell):
@@ -166,6 +166,12 @@ class CromaBaseline(BaselineShell):
         if self.has_s2:
             self.s2_encoder = CromaViT(dim, depth, heads, dtype=self.dtype)
         if self.has_s1 and self.has_s2:
+            # joint encoder layers: self-attn -> cross-attn -> ffn
+            # (reference croma.py BaseTransformerCrossAttn)
+            self.joint_self_attns = [
+                BiasedSelfAttention(dim, heads, dtype=self.dtype)
+                for _ in range(depth // 2)
+            ]
             self.cross_attns = [
                 BiasedCrossAttention(dim, heads, dtype=self.dtype)
                 for _ in range(depth // 2)
@@ -173,7 +179,7 @@ class CromaBaseline(BaselineShell):
             self.cross_ffns = [
                 CromaFFN(dim, dtype=self.dtype) for _ in range(depth // 2)
             ]
-            self.cross_norm = nn.LayerNorm(dtype=self.dtype)
+            self.cross_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
         self.heads = self.make_heads()
 
     def __call__(self, batch: dict, phase: str = "finetune") -> dict:
@@ -220,7 +226,10 @@ class CromaBaseline(BaselineShell):
             ctx = opt_tokens.reshape(bo, do, -1, self._dim)[:, :dj]
             x = x.reshape(bs * dj, -1, self._dim)
             ctx = ctx.reshape(bo * dj, -1, self._dim)
-            for xattn, ffn in zip(self.cross_attns, self.cross_ffns):
+            for sattn, xattn, ffn in zip(
+                self.joint_self_attns, self.cross_attns, self.cross_ffns,
+            ):
+                x = x + sattn(x, bias)
                 x = x + xattn(x, ctx, bias)
                 x = x + ffn(x)
             joint = self.cross_norm(x).reshape(bs, dj, -1, self._dim)

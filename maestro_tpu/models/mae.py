@@ -396,7 +396,8 @@ class MaestroMAE(nn.Module):
         pixels_rec, mask_pixels = {}, {}
         for name, spec in plan.mod_specs.items():
             pix, pmask = self.pixelify[spec.name_embed](x_mod[name], mask_mod[name])
-            pixels_rec[name] = pix.astype(jnp.float32)
+            # keep compute dtype: the loss paths cast as needed (fp32 stats)
+            pixels_rec[name] = pix
             mask_pixels[name] = pmask
         targets = {name: batch[name] for name in plan.mod_specs}
         return pixels_rec, mask_pixels, targets
