@@ -87,10 +87,10 @@ def test_encode_dates_reference_semantics():
         np.full((L, date_dim - 4), diff0), atol=1e-4,
     )
     doy = 2 * np.pi * 100 / 365.25
-    np.testing.assert_allclose(enc[0, 0, 0, dim - 4], np.sin(doy), rtol=1e-5)
-    np.testing.assert_allclose(enc[0, 0, 0, dim - 3], np.cos(doy), rtol=1e-5)
+    np.testing.assert_allclose(enc[0, 0, 0, dim - 4], np.sin(doy), atol=1e-6)
+    np.testing.assert_allclose(enc[0, 0, 0, dim - 3], np.cos(doy), atol=1e-6)
     hour = 2 * np.pi * 12 / 24
-    np.testing.assert_allclose(enc[0, 0, 0, dim - 2], np.sin(hour), rtol=1e-5)
-    np.testing.assert_allclose(enc[0, 0, 0, dim - 1], np.cos(hour), rtol=1e-5)
+    np.testing.assert_allclose(enc[0, 0, 0, dim - 2], np.sin(hour), atol=1e-6)
+    np.testing.assert_allclose(enc[0, 0, 0, dim - 1], np.cos(hour), atol=1e-6)
     # constant across token positions
     np.testing.assert_array_equal(enc[0, :, 0], enc[0, :, -1])
