@@ -162,8 +162,15 @@ def _sb_impl(q, k, v, sm_scale):
         in_specs=[spec, spec, spec],
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((b * h, lp, d), q.dtype),
+        compiler_params=_sb_params(),
     )(qf, kf, vf)
     return out[:, :l].reshape(b, h, l, d)
+
+
+def _sb_params():
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.CompilerParams(dimension_semantics=("parallel",))
 
 
 def _sb_fwd(q, k, v, sm_scale):
@@ -187,6 +194,7 @@ def _sb_bwd(sm_scale, res, do):
         in_specs=[spec, spec, spec, spec],
         out_specs=[spec, spec, spec],
         out_shape=[shape, shape, shape],
+        compiler_params=_sb_params(),
     )(qf, kf, vf, dof)
     unpad = lambda x: x[:, :l].reshape(b, h, l, d)
     return unpad(dq), unpad(dk), unpad(dv)
