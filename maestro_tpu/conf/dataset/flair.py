@@ -1,10 +1,11 @@
 """FLAIR / FLAIR-HUB dataset config.
 
-Values mirror /root/reference/maestro/conf/dataset/flair.py:15-138:
-102.4 m tiles, 0.2 m aerial (NIR-first band reorder), DEM/DSM elevation pair,
-SPOT, Sentinel-2 16-date and Sentinel-1 asc/des series, with COSIA 15-class
-(or LPIS 74-class) segmentation at 0.2 m on the aerial grid.  ``version``
-switches FLAIR#2 ignore-label handling in the data reader.
+Values follow /root/reference/maestro/conf/dataset/flair.py:15-138:
+102.4 m tiles; 0.2 m aerial with NIR-first band reorder; DEM/DSM elevation
+pair (rescaled to DSM-DTM in the model); SPOT; Sentinel-2 16-date and
+Sentinel-1 asc/des 4-date series; COSIA 15-class (or LPIS 74-class)
+segmentation at 0.2 m on the aerial grid.  ``version="flair2"`` widens the
+ignore-label set in the data reader.
 """
 
 from __future__ import annotations
@@ -17,6 +18,28 @@ from maestro_tpu.conf.dataset.base import (
     PatchSizeConfig,
     TargetRasterConfig,
 )
+
+# name -> kwargs for InputRasterConfig (patch size under "mae")
+_MODALITIES = {
+    "aerial": dict(image_size=512, mae=16, bands=[[3, 0, 1, 2]],
+                   norm_bands=[1, 3], norm_fac=255.0),
+    "dem": dict(image_size=512, mae=32, bands=2, norm_fac=1000.0,
+                rescale_elev=True),
+    "spot": dict(image_size=64, mae=4, bands=4, norm_fac=2000.0),
+    "s2": dict(image_size=10, mae=2, bands=10, norm_bands=[4, 4, 2],
+               num_dates=16, norm_fac=5000.0),
+    "s1_asc": dict(image_size=10, mae=2, bands=2, norm_bands=[1, 1],
+                   num_dates=4, norm_fac=5.0, log_scale=True, name_group="s1"),
+    "s1_des": dict(image_size=10, mae=2, bands=2, norm_bands=[1, 1],
+                   num_dates=4, norm_fac=5.0, log_scale=True, name_group="s1"),
+}
+
+_TARGETS = {"cosia": 15, "lpis": 74}
+
+_RESOLUTIONS = {
+    "cosia": 0.2, "lpis": 0.2, "aerial": 0.2, "dem": 0.2,
+    "spot": 1.6, "s2": 10.24, "s1_asc": 10.24, "s1_des": 10.24,
+}
 
 
 @dataclass
@@ -38,84 +61,17 @@ class FLAIRConfig(DatasetConfig):
     )
     filter_targets: list[str] = field(default_factory=lambda: ["cosia"])
 
-    aerial: InputRasterConfig = field(
-        default_factory=lambda: InputRasterConfig(
-            image_size=512,
-            patch_size=PatchSizeConfig(mae=16),
-            bands=[[3, 0, 1, 2]],
-            norm_bands=[1, 3],
-            norm_fac=255.0,
-        ),
-    )
-    dem: InputRasterConfig = field(
-        default_factory=lambda: InputRasterConfig(
-            image_size=512,
-            patch_size=PatchSizeConfig(mae=32),
-            bands=2,
-            norm_fac=1000.0,
-            rescale_elev=True,
-        ),
-    )
-    spot: InputRasterConfig = field(
-        default_factory=lambda: InputRasterConfig(
-            image_size=64,
-            patch_size=PatchSizeConfig(mae=4),
-            bands=4,
-            norm_fac=2000.0,
-        ),
-    )
-    s2: InputRasterConfig = field(
-        default_factory=lambda: InputRasterConfig(
-            image_size=10,
-            patch_size=PatchSizeConfig(mae=2),
-            bands=10,
-            norm_bands=[4, 4, 2],
-            num_dates=16,
-            mask_threshold=0.0,
-            norm_fac=5000.0,
-        ),
-    )
-    s1_asc: InputRasterConfig = field(
-        default_factory=lambda: InputRasterConfig(
-            image_size=10,
-            patch_size=PatchSizeConfig(mae=2),
-            bands=2,
-            norm_bands=[1, 1],
-            num_dates=4,
-            norm_fac=5.0,
-            log_scale=True,
-            name_group="s1",
-        ),
-    )
-    s1_des: InputRasterConfig = field(
-        default_factory=lambda: InputRasterConfig(
-            image_size=10,
-            patch_size=PatchSizeConfig(mae=2),
-            bands=2,
-            norm_bands=[1, 1],
-            num_dates=4,
-            norm_fac=5.0,
-            log_scale=True,
-            name_group="s1",
-        ),
-    )
-
     def __post_init__(self) -> None:
-        self.cosia = TargetRasterConfig(
-            type_target="segment", num_classes=15, missing_val=-1, bands=1,
-        )
-        self.lpis = TargetRasterConfig(
-            type_target="segment", num_classes=74, missing_val=-1, bands=1,
-        )
-        self.finalize(
-            resolutions_meters={
-                "cosia": 0.2,
-                "lpis": 0.2,
-                "aerial": 0.2,
-                "dem": 0.2,
-                "spot": 1.6,
-                "s2": 10.24,
-                "s1_asc": 10.24,
-                "s1_des": 10.24,
-            },
-        )
+        for name, kwargs in _MODALITIES.items():
+            if name in self.__dict__:
+                continue  # keep CLI-overridden objects across re-finalization
+            kw = dict(kwargs)
+            patch = PatchSizeConfig(mae=kw.pop("mae"))
+            setattr(self, name, InputRasterConfig(patch_size=patch, **kw))
+        for name, classes in _TARGETS.items():
+            if name not in self.__dict__:
+                setattr(self, name, TargetRasterConfig(
+                    type_target="segment", num_classes=classes,
+                    missing_val=-1, bands=1,
+                ))
+        self.finalize(resolutions_meters=_RESOLUTIONS)

@@ -1,9 +1,10 @@
 """PASTIS-HD dataset config.
 
-Values mirror /root/reference/maestro/conf/dataset/pastis_hd.py:16-100:
-1280 m tiles cropped to 160 m (8x8 crop grid via ``repeats=8``), SPOT VHR RGB,
-Sentinel-2 16-date series, Sentinel-1 asc/des fused as "s1", 19-class crop
-segmentation target on the S2 grid.
+Values follow /root/reference/maestro/conf/dataset/pastis_hd.py:16-100:
+1280 m tiles with an 8x8 deterministic 160 m crop grid (``repeats``); SPOT6
+VHR RGB; Sentinel-2 16-date series; Sentinel-1 asc/des fused as "s1";
+19-class crop-type segmentation on the S2 grid (void class 19) plus a derived
+18-class multilabel target.
 """
 
 from __future__ import annotations
@@ -17,6 +18,22 @@ from maestro_tpu.conf.dataset.base import (
     TargetConfig,
     TargetRasterConfig,
 )
+
+# (image_size, mae patch, bands, norm_bands, num_dates, norm_fac, name_group)
+_MODALITIES = {
+    "spot": (160, 16, 3, None, 1, 255.0, None),
+    "s2": (16, 2, 10, [4, 4, 2], 16, 10000.0, None),
+    "s1_asc": (16, 2, [[0, 1]], [1, 1], 4, 20.0, "s1"),
+    "s1_des": (16, 2, [[0, 1]], [1, 1], 4, 20.0, "s1"),
+}
+
+_RESOLUTIONS = {
+    "pastis_seg": 10.0,
+    "spot": 1.0,
+    "s2": 10.0,
+    "s1_asc": 10.0,
+    "s1_des": 10.0,
+}
 
 
 @dataclass
@@ -32,65 +49,29 @@ class PASTISHDConfig(DatasetConfig):
 
     ref_input: str | None = "s2"
     log_inputs: list[str] = field(default_factory=lambda: ["spot"])
-    filter_inputs: list[str] = field(
-        default_factory=lambda: ["spot", "s2", "s1_asc", "s1_des"],
-    )
+    filter_inputs: list[str] = field(default_factory=lambda: list(_MODALITIES))
     filter_targets: list[str] = field(default_factory=lambda: ["pastis_seg"])
 
-    spot: InputRasterConfig = field(
-        default_factory=lambda: InputRasterConfig(
-            image_size=160,
-            patch_size=PatchSizeConfig(mae=16),
-            bands=3,
-            norm_fac=255.0,
-        ),
-    )
-    s2: InputRasterConfig = field(
-        default_factory=lambda: InputRasterConfig(
-            image_size=16,
-            patch_size=PatchSizeConfig(mae=2),
-            bands=10,
-            norm_bands=[4, 4, 2],
-            num_dates=16,
-            norm_fac=10000.0,
-        ),
-    )
-    s1_asc: InputRasterConfig = field(
-        default_factory=lambda: InputRasterConfig(
-            image_size=16,
-            patch_size=PatchSizeConfig(mae=2),
-            bands=[[0, 1]],
-            norm_bands=[1, 1],
-            num_dates=4,
-            norm_fac=20.0,
-            name_group="s1",
-        ),
-    )
-    s1_des: InputRasterConfig = field(
-        default_factory=lambda: InputRasterConfig(
-            image_size=16,
-            patch_size=PatchSizeConfig(mae=2),
-            bands=[[0, 1]],
-            norm_bands=[1, 1],
-            num_dates=4,
-            norm_fac=20.0,
-            name_group="s1",
-        ),
-    )
-
     def __post_init__(self) -> None:
-        self.pastis_seg = TargetRasterConfig(
-            type_target="segment", num_classes=19, missing_val=19, bands=1,
-        )
-        self.pastis_mlc = TargetConfig(
-            type_target="multilabel_classif", num_classes=18,
-        )
-        self.finalize(
-            resolutions_meters={
-                "pastis_seg": 10.0,
-                "spot": 1.0,
-                "s2": 10.0,
-                "s1_asc": 10.0,
-                "s1_des": 10.0,
-            },
-        )
+        for name, entry in _MODALITIES.items():
+            if name in self.__dict__:
+                continue  # keep CLI-overridden objects across re-finalization
+            size, patch, bands, norm, dates, fac, group = entry
+            setattr(self, name, InputRasterConfig(
+                image_size=size,
+                patch_size=PatchSizeConfig(mae=patch),
+                bands=bands,
+                norm_bands=norm,
+                num_dates=dates,
+                norm_fac=fac,
+                name_group=group,
+            ))
+        if "pastis_seg" not in self.__dict__:
+            self.pastis_seg = TargetRasterConfig(
+                type_target="segment", num_classes=19, missing_val=19, bands=1,
+            )
+        if "pastis_mlc" not in self.__dict__:
+            self.pastis_mlc = TargetConfig(
+                type_target="multilabel_classif", num_classes=18,
+            )
+        self.finalize(resolutions_meters=_RESOLUTIONS)
