@@ -35,6 +35,16 @@ def make_mesh(
             msg = f"{n} devices not divisible by model axis {num_model}."
             raise ValueError(msg)
         num_data = n // num_model
+    if n < num_data * num_model:
+        msg = (
+            f"mesh ({num_data} data x {num_model} model) needs "
+            f"{num_data * num_model} devices but only {n} are available "
+            f"({[str(d) for d in devices.ravel()]}). On a single-chip or "
+            "CPU host, force virtual devices via "
+            "XLA_FLAGS=--xla_force_host_platform_device_count=N and "
+            'jax.config.update("jax_platforms", "cpu") before backend init.'
+        )
+        raise ValueError(msg)
     devices = devices[: num_data * num_model].reshape(num_data, num_model)
     return Mesh(devices, (DATA_AXIS, MODEL_AXIS))
 
@@ -47,13 +57,18 @@ def _param_spec(path: tuple, value, tp: bool) -> P:
 
     TP layout (Megatron-style column/row split per block):
       qkv / fc1 kernels: split output features -> P(None, "model")
+      qkv / fc1 biases:  split with their kernel -> P("model")
       out / fc2 kernels: split input features  -> P("model", None)
     Everything else (norms, embeds, biases of row-split layers) replicated.
     """
-    if not tp or value.ndim < 2:
+    if not tp:
         return P()
     keys = [str(getattr(k, "key", k)) for k in path]
     joined = "/".join(keys)
+    if value.ndim < 2:
+        if joined.endswith(("qkv/bias", "fc1/bias", "to_kv/bias")):
+            return P(MODEL_AXIS)
+        return P()
     if joined.endswith("qkv/kernel") or joined.endswith("fc1/kernel"):
         return P(None, MODEL_AXIS)
     if joined.endswith("out/kernel") or joined.endswith("fc2/kernel"):

@@ -78,16 +78,20 @@ def make_pretrain_multistep(
         )
         return loss_impl(plan, targets, pixels, masks, loss_type)
 
-    def one_step(state: TrainState, batch: dict):
-        rng = jax.random.fold_in(jax.random.PRNGKey(0), state.step)
-        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, rng)
-        updates, opt_state = tx.update(grads, state.opt_state, state.params)
-        params = optax.apply_updates(state.params, updates)
-        return state.replace(
-            step=state.step + 1, params=params, opt_state=opt_state,
-        ), loss
+    def multistep(state: TrainState, batch_stack: dict, rng: jax.Array):
+        # identical rng derivation to the single-step path: fold the caller
+        # rng by the global step, so K multisteps == K single steps bit-exactly
+        def one_step(state: TrainState, batch: dict):
+            step_rng = jax.random.fold_in(rng, state.step)
+            loss, grads = jax.value_and_grad(loss_fn)(
+                state.params, batch, step_rng,
+            )
+            updates, opt_state = tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            return state.replace(
+                step=state.step + 1, params=params, opt_state=opt_state,
+            ), loss
 
-    def multistep(state: TrainState, batch_stack: dict):
         return jax.lax.scan(one_step, state, batch_stack)
 
     return jax.jit(multistep, donate_argnums=(0,) if donate else ())
