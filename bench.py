@@ -26,7 +26,12 @@ PEAK_FLOPS = {
     "v6e": 918e12,
 }
 
-BATCH_SIZE = int(__import__("os").environ.get("BENCH_BS", 64))
+import os
+
+BATCH_SIZE = int(os.environ.get("BENCH_BS", 64))
+REMAT = os.environ.get("BENCH_REMAT", "false")  # false|full|dots|mlp
+REMAT = False if REMAT.lower() == "false" else REMAT
+STEPS_PER_DISPATCH = int(os.environ.get("BENCH_SPD", 1))
 WARMUP_STEPS = 3
 BENCH_STEPS = 10
 
@@ -56,6 +61,7 @@ def main() -> None:
     model, plan = build_model(
         datasets, MaskConfig(),
         ModelConfig(model_size="medium", fusion_mode="group", inter_depth=3),
+        remat=REMAT,
     )
     # two distinct batches, alternated: the remote-execution layer memoizes
     # repeated executions with identical buffers, which fakes step times
@@ -79,11 +85,30 @@ def main() -> None:
     state = TrainState.create(params, tx)
     step = make_pretrain_step(model, plan, tx, "l1_norm", donate=True)
 
+    if STEPS_PER_DISPATCH > 1:
+        from maestro_tpu.train.steps import make_pretrain_multistep
+
+        k = STEPS_PER_DISPATCH
+        multi = make_pretrain_multistep(model, plan, tx, "l1_norm", donate=True)
+        batches = [
+            {key_: jnp.stack([batches[(i + j) % 2][key_] for j in range(k)])
+             for key_ in batch}
+            for i in range(2)
+        ]
+        jittable = multi
+
+        def step(state, b, rng, _multi=multi):  # noqa: ANN001
+            new_state, losses = _multi(state, b, rng)
+            return new_state, {"loss_rec": losses[-1]}
+    else:
+        jittable = step
+
     # compile + FLOP count
-    lowered = None
     try:
-        lowered = step.lower(state, batch, key).compile()
-        flops_per_step = lowered.cost_analysis().get("flops", 0.0)
+        lowered = jittable.lower(state, batches[0], key).compile()
+        flops_per_step = (
+            lowered.cost_analysis().get("flops", 0.0) / STEPS_PER_DISPATCH
+        )
     except Exception:
         flops_per_step = 0.0
 
@@ -95,7 +120,7 @@ def main() -> None:
     for i in range(BENCH_STEPS):
         state, logs = step(state, batches[i % 2], key)
     jax.block_until_ready(state.params)  # full state: no trailing async work
-    dt = (time.perf_counter() - t0) / BENCH_STEPS
+    dt = (time.perf_counter() - t0) / (BENCH_STEPS * STEPS_PER_DISPATCH)
 
     tokens_per_sample = sum(s.seq_len * s.batch_factor for s in plan.streams.values())
     tokens_per_sec = tokens_per_sample * BATCH_SIZE / dt
@@ -114,6 +139,8 @@ def main() -> None:
             "mfu": round(mfu, 4),
             "flops_per_step": flops_per_step,
             "batch_size": BATCH_SIZE,
+            "remat": str(REMAT),
+            "steps_per_dispatch": STEPS_PER_DISPATCH,
             "tokens_per_sample": tokens_per_sample,
             "device": str(jax.devices()[0]),
             "loss_rec": float(logs["loss_rec"]),

@@ -100,6 +100,9 @@ class DataConfig:
     random_crop: bool = True
     num_workers: int = 12
     prefetch: int = 4
+    # "threads" = in-process pool (GIL released in h5py/rasterio reads);
+    # "grain" = multiprocess grain pipeline for decode-bound datasets
+    loader: str = "threads"
 
 
 @dataclass
@@ -155,13 +158,17 @@ class TrainerConfig:
     mesh_data: int = -1
     mesh_model: int = 1
     # compute dtype for matmuls/activations; params and opt state stay fp32
+    # (multi-host process count is discovered via jax.process_count())
     compute_dtype: str = "bfloat16"
-    # number of training processes (multi-host); inferred at runtime
-    num_hosts: int = 1
-    # remat (activation checkpointing) policy for encoder blocks
-    remat: bool = False
+    # remat (activation checkpointing) policy for transformer blocks:
+    # false | true/"full" | "dots" (save matmul outputs) | "mlp" (MLPs only)
+    remat: bool | str = False
+    # per-step train-loss scalars to TensorBoard every N optimizer steps
     log_every_steps: int = 50
+    # donate the train state into the jitted step (in-place param updates)
     donate_state: bool = True
+    # steps fused per host dispatch via lax.scan (1 = one step per dispatch)
+    steps_per_dispatch: int = 1
 
 
 @dataclass

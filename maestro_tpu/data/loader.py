@@ -33,6 +33,8 @@ class EOBatchLoader:
         num_workers: int = 8,
         prefetch: int = 2,
         seed: int = 0,
+        shard_index: int = 0,
+        shard_count: int = 1,
     ) -> None:
         self.dataset = dataset
         self.batch_size = batch_size
@@ -41,9 +43,11 @@ class EOBatchLoader:
         self.num_workers = max(num_workers, 1)
         self.prefetch = prefetch
         self.rng = np.random.default_rng(seed)
+        self.shard_index = shard_index
+        self.shard_count = shard_count
 
     def __len__(self) -> int:
-        n = len(self.dataset)
+        n = len(self.dataset) // self.shard_count
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -51,7 +55,9 @@ class EOBatchLoader:
     def _batches(self) -> list[np.ndarray]:
         order = np.arange(len(self.dataset))
         if self.shuffle:
-            self.rng.shuffle(order)
+            self.rng.shuffle(order)  # same seed on every host -> same order
+        if self.shard_count > 1:
+            order = order[self.shard_index :: self.shard_count]
         nb = len(self)
         return [
             order[i * self.batch_size : (i + 1) * self.batch_size]
@@ -91,8 +97,17 @@ def make_loader(
     ssl_phase: str,
     batch_size: int,
     seed: int = 0,
+    shard_index: int = 0,
+    shard_count: int = 1,
 ):
-    """Build (dataset, loader) for one (stage, phase), mirroring SSLDataModule."""
+    """Build (dataset, loader) for one (stage, phase), mirroring SSLDataModule.
+
+    ``batch_size`` is the per-process batch; multi-host runs shard the sample
+    order by (shard_index, shard_count) so every host reads a disjoint slice
+    (reference: Lightning's DistributedSampler under num_nodes>1).
+    ``data_cfg.loader`` selects the thread pool ("threads") or the grain
+    multiprocess pipeline ("grain") for decode-bound datasets.
+    """
     from maestro_tpu.data.datasets import DATASET_CLASSES
 
     ds_cls = DATASET_CLASSES[datasets_cfg.name_dataset]
@@ -111,13 +126,29 @@ def make_loader(
         ssl_phase=ssl_phase,
         seed=seed,
     )
-    loader = EOBatchLoader(
-        dataset,
-        batch_size=batch_size,
-        shuffle=True,
-        drop_last=True,
-        num_workers=data_cfg.num_workers,
-        prefetch=data_cfg.prefetch,
-        seed=seed,
-    )
+    if data_cfg.loader == "grain":
+        from maestro_tpu.data.grain_loader import GrainBatchLoader
+
+        loader = GrainBatchLoader(
+            dataset,
+            batch_size=batch_size,
+            shuffle=True,
+            drop_last=True,
+            num_workers=data_cfg.num_workers,
+            seed=seed,
+            shard_index=shard_index,
+            shard_count=shard_count,
+        )
+    else:
+        loader = EOBatchLoader(
+            dataset,
+            batch_size=batch_size,
+            shuffle=True,
+            drop_last=True,
+            num_workers=data_cfg.num_workers,
+            prefetch=data_cfg.prefetch,
+            seed=seed,
+            shard_index=shard_index,
+            shard_count=shard_count,
+        )
     return dataset, loader

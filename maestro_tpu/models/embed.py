@@ -67,6 +67,7 @@ class Pixelify(nn.Module):
         self,
         x: jnp.ndarray,
         mask: jnp.ndarray | None = None,  # [B, G*D, L] bool token mask
+        tokens_only: bool = False,
     ) -> tuple[jnp.ndarray, jnp.ndarray | None]:
         num_groups = len(self.band_groups)
         b, gd, l, _ = x.shape
@@ -74,6 +75,19 @@ class Pixelify(nn.Module):
         x = x.reshape(b, num_groups, d, l, x.shape[-1])
         if mask is not None:
             mask = mask.reshape(b, num_groups, d, l)
+
+        if tokens_only:
+            # token-space reconstruction [B, D, L, C*p*p] in (C, ph, pw)
+            # feature order + per-token mask; skips the pixel shuffle so the
+            # loss never materializes / re-patchifies the full pixel grid
+            if num_groups != 1:
+                msg = "tokens_only requires a single band group."
+                raise ValueError(msg)
+            y = nn.Dense(
+                self.band_groups[0] * self.patch_size**2, dtype=self.dtype,
+                name="proj0",
+            )(x[:, 0])
+            return y, (mask[:, 0] if mask is not None else None)
 
         pix, pix_mask = [], []
         for g, chans in enumerate(self.band_groups):

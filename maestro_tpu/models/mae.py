@@ -116,7 +116,7 @@ class MaestroMAE(nn.Module):
     fac_date_enc: float = 1.0
     date_dim: int = 8
     dtype: Dtype = jnp.bfloat16
-    remat: bool = False
+    remat: Any = False  # False | True/"full" | "dots" | "mlp" (models/vit.py)
 
     def setup(self) -> None:
         plan, arch = self.plan, self.arch
@@ -340,12 +340,19 @@ class MaestroMAE(nn.Module):
         return logits
 
     # ------------------------------------------------------------------
-    def __call__(self, batch: dict, phase: str = "pretrain"):
+    def __call__(self, batch: dict, phase: str = "pretrain",
+                 return_pixels: bool = True):
         """Forward pass.
 
-        pretrain -> (pixels_rec, mask_pixels, targets) dicts per modality,
-        where ``targets`` are the resized/rescaled inputs the reconstruction
-        loss compares against; probe/finetune -> logits dict per target.
+        pretrain -> (rec, mask, targets) dicts per modality, where ``targets``
+        are the resized/rescaled inputs the reconstruction loss compares
+        against; probe/finetune -> logits dict per target.
+
+        ``return_pixels=False`` (pretrain only) keeps the reconstruction in
+        token space — rec[name] is [B, D, L, C*p*p] in (C, ph, pw) feature
+        order with a [B, D, L] token mask — skipping the pixel shuffle and the
+        full-resolution pixel-mask materialization the loss would immediately
+        undo.  The hot train step uses this; visualization/eval use pixels.
         """
         if phase not in PHASES:
             msg = f"Invalid phase {phase!r}; expected {PHASES}."
@@ -390,12 +397,15 @@ class MaestroMAE(nn.Module):
             for name, xs in full.items()
         }
 
-        # --- reconstruct pixels per modality
+        # --- reconstruct per modality (token space or pixels)
         x_mod = plan.ungroup(decoded)
         mask_mod = plan.ungroup(mask_rec)
         pixels_rec, mask_pixels = {}, {}
         for name, spec in plan.mod_specs.items():
-            pix, pmask = self.pixelify[spec.name_embed](x_mod[name], mask_mod[name])
+            tokens_only = not return_pixels and spec.len_bands == 1
+            pix, pmask = self.pixelify[spec.name_embed](
+                x_mod[name], mask_mod[name], tokens_only=tokens_only,
+            )
             # keep compute dtype: the loss paths cast as needed (fp32 stats)
             pixels_rec[name] = pix
             mask_pixels[name] = pmask
@@ -408,7 +418,7 @@ def build_model(
     mask: MaskConfig,
     model_cfg: ModelConfig,
     dtype: Dtype = jnp.bfloat16,
-    remat: bool = False,
+    remat: Any = False,
 ) -> tuple[MaestroMAE, FusionPlan]:
     """Build the flagship MAE for a dataset + model config."""
     if model_cfg.model != "mae":

@@ -73,17 +73,27 @@ class Block(nn.Module):
     dim_head: int
     mlp_dim: int
     dtype: Dtype = jnp.bfloat16
+    remat_mlp: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = x + Attention(
             self.dim, self.heads, self.dim_head, dtype=self.dtype, name="attn",
         )(x)
-        return x + FeedForward(self.dim, self.mlp_dim, dtype=self.dtype, name="mlp")(x)
+        ff_cls = nn.remat(FeedForward) if self.remat_mlp else FeedForward
+        return x + ff_cls(self.dim, self.mlp_dim, dtype=self.dtype, name="mlp")(x)
 
 
 class Transformer(nn.Module):
-    """Stack of blocks + final LayerNorm."""
+    """Stack of blocks + final LayerNorm.
+
+    ``remat`` trades activation memory for recompute (enables big batches):
+      False        — save everything (fastest per step, most memory)
+      True/"full"  — rematerialize whole blocks
+      "dots"       — rematerialize blocks but save matmul outputs
+                     (recomputes LN/GELU/softmax only — the usual sweet spot)
+      "mlp"        — rematerialize only the MLPs, attention saved
+    """
 
     dim: int
     depth: int
@@ -91,11 +101,22 @@ class Transformer(nn.Module):
     dim_head: int
     mlp_dim: int
     dtype: Dtype = jnp.bfloat16
-    remat: bool = False
+    remat: Any = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        block_cls = nn.remat(Block) if self.remat else Block
+        remat_mlp = False
+        if self.remat in (True, "full"):
+            block_cls = nn.remat(Block)
+        elif self.remat == "dots":
+            block_cls = nn.remat(
+                Block,
+                policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
+            )
+        elif self.remat == "mlp":
+            block_cls, remat_mlp = Block, True
+        else:
+            block_cls = Block
         for i in range(self.depth):
             x = block_cls(
                 self.dim,
@@ -103,6 +124,7 @@ class Transformer(nn.Module):
                 self.dim_head,
                 self.mlp_dim,
                 dtype=self.dtype,
+                remat_mlp=remat_mlp,
                 name=f"block{i}",
             )(x)
         return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)

@@ -177,24 +177,31 @@ def _use_pallas(n: int, f: int) -> bool:
 
 
 # --------------------------------------------------------------------------
-def fused_reconstruction_loss(plan, targets, pixels_rec, mask_pixels,
+def fused_reconstruction_loss(plan, targets, rec, masks,
                               loss_type: str = "l1_norm",
                               stage_dtype=None) -> jnp.ndarray:
     """Drop-in for train.losses.reconstruction_loss using the fused kernel.
 
-    Requires a ``_norm`` loss variant and single-band-group modalities (the
-    four reference datasets all have one band group per modality); falls back
-    to the XLA loss otherwise.  ``stage_dtype`` (default bf16 on TPU) is the
-    dtype of the patchified staging buffers — normalization statistics are
-    always computed in fp32 inside the kernel; bf16 staging halves the HBM
-    traffic of the patch-extraction copies.
+    Accepts per modality either a token-space reconstruction
+    ([B, D, L, C*p*p], token mask [B, D, L] — the model's
+    ``return_pixels=False`` hot path, no pixel grid ever materialized) or the
+    pixel-space form ([B, D, C, H, W] + pixel mask), which is re-patchified
+    here.  Requires a ``_norm`` loss variant and single-band-group modalities
+    (all four reference datasets); falls back to the XLA pixel loss per
+    modality otherwise.  ``stage_dtype`` (default bf16 on TPU) is the dtype of
+    the patchified staging buffers — normalization statistics are always
+    computed in fp32 inside the kernel.
     """
     from maestro_tpu.ops.patch import patchify_pixels
-    from maestro_tpu.train.losses import reconstruction_loss
+    from maestro_tpu.train.losses import (
+        _EPS_COUNT,
+        _loss_elem,
+        patch_group_normalize,
+        reconstruction_loss,
+    )
 
     if not loss_type.endswith("_norm"):
-        return reconstruction_loss(plan, targets, pixels_rec, mask_pixels,
-                                   loss_type)
+        return reconstruction_loss(plan, targets, rec, masks, loss_type)
     square = loss_type.startswith("l2")
     if stage_dtype is None:
         stage_dtype = (
@@ -203,17 +210,31 @@ def fused_reconstruction_loss(plan, targets, pixels_rec, mask_pixels,
 
     total, weights = 0.0, 0.0
     for name, spec in plan.mod_specs.items():
-        if spec.len_bands != 1:
-            return reconstruction_loss(plan, targets, pixels_rec, mask_pixels,
-                                       loss_type)
+        weight = spec.num_dates * spec.tokens_per_date
+        weights = weights + weight
         p = spec.patch_size
-        # patches [B, D, L, C*p*p] -> rows [N, F]
+
+        if spec.len_bands != 1:  # pixel-space XLA fallback for this modality
+            loss_fn, _ = _loss_elem(loss_type)
+            target = patch_group_normalize(
+                targets[name].astype(jnp.float32), p, spec.norm_groups,
+            )
+            err = loss_fn(target - rec[name].astype(jnp.float32))
+            m = masks[name].astype(jnp.float32)
+            total = total + weight * jnp.sum(err * m) / (jnp.sum(m) + _EPS_COUNT)
+            continue
+
         t = patchify_pixels(targets[name].astype(stage_dtype), p)
-        r = patchify_pixels(pixels_rec[name].astype(stage_dtype), p)
         b, d, l, f = t.shape
-        t, r = t.reshape(b * d * l, f), r.reshape(b * d * l, f)
-        # per-token mask: one band group -> mask constant over the patch
-        m = mask_pixels[name][:, :, 0, ::p, ::p].reshape(b * d * l, 1)
+        t = t.reshape(b * d * l, f)
+        if rec[name].ndim == 4:  # token-space reconstruction
+            r = rec[name].astype(stage_dtype).reshape(b * d * l, f)
+            m = masks[name].reshape(b * d * l, 1)
+        else:
+            r = patchify_pixels(rec[name].astype(stage_dtype), p)
+            r = r.reshape(b * d * l, f)
+            # one band group -> pixel mask constant over the patch
+            m = masks[name][:, :, 0, ::p, ::p].reshape(b * d * l, 1)
 
         # column slices per norm group in (C, ph, pw) feature order
         slices, off = [], 0
@@ -223,7 +244,5 @@ def fused_reconstruction_loss(plan, targets, pixels_rec, mask_pixels,
         s, c = masked_patchnorm_sums(
             t, r, m.astype(jnp.float32), tuple(slices), square,
         )
-        weight = spec.num_dates * spec.tokens_per_date
         total = total + weight * s / jnp.maximum(c, 1e-8)
-        weights = weights + weight
     return total / weights

@@ -23,15 +23,19 @@ def patchify_pixels(x: jnp.ndarray, patch: int) -> jnp.ndarray:
 
 
 def unpatchify_pixels(x: jnp.ndarray, patch: int, channels: int) -> jnp.ndarray:
-    """[B, D, L, p*p*C] (feature order (ph, pw, C)) -> [B, D, C, H, W].
+    """[B, D, L, C*p*p] (feature order (C, ph, pw)) -> [B, D, C, H, W].
 
-    Feature order matches the reference pixel-shuffle rearrange
-    "(p1 p2 c) h w -> c (h p1) (w p2)" (embed.py:154-160).
+    Exact inverse of :func:`patchify_pixels` — one feature convention for all
+    token-space tensors, so the token-space reconstruction loss can compare
+    decoder outputs against patchified targets without any permutation.  The
+    reference's pixel-shuffle order "(p1 p2 c) h w -> c (h p1) (w p2)"
+    (embed.py:154-160) is handled at checkpoint-port time by permuting the
+    1x1-conv output features (port/torch_port.py).
     """
     b, d, l, _ = x.shape
     h = round(l**0.5)
-    x = x.reshape(b, d, h, h, patch, patch, channels)
-    x = x.transpose(0, 1, 6, 2, 4, 3, 5)  # [B, D, C, h, p, w, p]
+    x = x.reshape(b, d, h, h, channels, patch, patch)
+    x = x.transpose(0, 1, 4, 2, 5, 3, 6)  # [B, D, C, h, p, w, p]
     return x.reshape(b, d, channels, h * patch, h * patch)
 
 

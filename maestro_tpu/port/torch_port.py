@@ -47,6 +47,24 @@ def _conv1x1_to_dense(w: np.ndarray) -> np.ndarray:
     return w[:, :, 0, 0].T
 
 
+def _pixelify_kernel(w: np.ndarray, patch: int, channels: int) -> np.ndarray:
+    """Pixelify 1x1 conv [C*p*p, E, 1, 1] -> Dense kernel [E, C*p*p].
+
+    The reference pixel-shuffles with output features in (ph, pw, C) order
+    ("(p1 p2 c) h w", embed.py:154-160); maestro_tpu token space uses
+    (C, ph, pw) everywhere, so the output features are permuted here.
+    """
+    dense = w[:, :, 0, 0].T  # [E, out] in (ph, pw, C) order
+    e = dense.shape[0]
+    out = dense.reshape(e, patch, patch, channels)
+    return out.transpose(0, 3, 1, 2).reshape(e, -1)
+
+
+def _pixelify_bias(b: np.ndarray, patch: int, channels: int) -> np.ndarray:
+    """(ph, pw, C)-ordered bias -> (C, ph, pw)."""
+    return b.reshape(patch, patch, channels).transpose(2, 0, 1).reshape(-1)
+
+
 def _linear(w: np.ndarray) -> np.ndarray:
     return w.T
 
@@ -117,9 +135,14 @@ def port_mae_state_dict(
             pe[f"norm{g}_scale"] = src[f"{conv}norm.weight"]
             pe[f"norm{g}_bias"] = src[f"{conv}norm.bias"]
             rec = f"embed_to_rec.{embed}.pixelify_bands.{g}."
+            chans = spec.band_groups[g]
             pr[f"proj{g}"] = {
-                "kernel": _conv1x1_to_dense(src[f"{rec}conv.weight"]),
-                "bias": src[f"{rec}conv.bias"],
+                "kernel": _pixelify_kernel(
+                    src[f"{rec}conv.weight"], spec.patch_size, chans,
+                ),
+                "bias": _pixelify_bias(
+                    src[f"{rec}conv.bias"], spec.patch_size, chans,
+                ),
             }
         params[f"patch_embed_{embed}"] = pe
         params[f"pixelify_{embed}"] = pr
@@ -161,8 +184,16 @@ def port_mae_state_dict(
             params[f"heads_{hs.name}"] = head
         elif f"{prefix}conv.weight" in src:  # pixelify (segmentation) head
             head = {
-                "proj": {"kernel": _conv1x1_to_dense(src[f"{prefix}conv.weight"]),
-                         "bias": src[f"{prefix}conv.bias"]},
+                "proj": {
+                    "kernel": _pixelify_kernel(
+                        src[f"{prefix}conv.weight"], hs.pixel_patch,
+                        hs.num_classes,
+                    ),
+                    "bias": _pixelify_bias(
+                        src[f"{prefix}conv.bias"], hs.pixel_patch,
+                        hs.num_classes,
+                    ),
+                },
             }
             if f"{prefix}reduce.query" in src:
                 head["reduce"] = map_attentive_reduce(src, f"{prefix}reduce.")

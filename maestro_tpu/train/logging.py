@@ -120,6 +120,7 @@ class EpochImageLogger:
     def log_reconstruction(
         self, phase: str, stage: str, epoch: int,
         targets: dict, pixels_rec: dict, mask_pixels: dict,
+        sample: int = 0,
     ) -> None:
         if self._logged >= self.images_per_epoch:
             return
@@ -127,30 +128,30 @@ class EpochImageLogger:
             if name not in pixels_rec:
                 continue
             triplet = reconstruction_triplet(
-                np.asarray(targets[name][0, 0]),
-                np.asarray(pixels_rec[name][0, 0]),
-                np.asarray(mask_pixels[name][0, 0]),
+                np.asarray(targets[name][sample, 0]),
+                np.asarray(pixels_rec[name][sample, 0]),
+                np.asarray(mask_pixels[name][sample, 0]),
             )
             for kind, img in triplet.items():
                 self.writer.add_image(
-                    f"{phase}_{stage}/{name}_{kind}", img, epoch,
+                    f"{phase}_{stage}/{name}_{kind}_{sample}", img, epoch,
                 )
         self._logged += 1
 
     def log_segmentation(
         self, phase: str, stage: str, epoch: int, name_target: str,
         image: np.ndarray, logits: np.ndarray, labels: np.ndarray,
-        num_classes: int, missing_val: int,
+        num_classes: int, missing_val: int, sample: int = 0,
     ) -> None:
         if self._logged >= self.images_per_epoch:
             return
         pred = np.argmax(np.asarray(logits), axis=0)
         self.writer.add_image(
-            f"{phase}_{name_target}_{stage}/pred",
+            f"{phase}_{name_target}_{stage}/pred_{sample}",
             seg_overlay(image, pred, num_classes), epoch,
         )
         self.writer.add_image(
-            f"{phase}_{name_target}_{stage}/target",
+            f"{phase}_{name_target}_{stage}/target_{sample}",
             seg_overlay(image, np.asarray(labels), num_classes,
                         missing_val=missing_val), epoch,
         )

@@ -24,15 +24,23 @@ import numpy as np
 from maestro_tpu.conf.core import ExperimentConfig, OptConfig, OptFinetuneConfig
 from maestro_tpu.conf.datasets import DatasetsConfig
 from maestro_tpu.models.mae import MaestroMAE, build_model
-from maestro_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
+from maestro_tpu.parallel.distributed import is_primary, local_batch_slice
+from maestro_tpu.parallel.mesh import (
+    DATA_AXIS,
+    batch_shardings,
+    make_mesh,
+    shard_batch,
+    shard_params,
+)
 from maestro_tpu.specs.fusion import FusionPlan
 from maestro_tpu.train import checkpoint as ckpt
-from maestro_tpu.train.optim import make_optimizer
+from maestro_tpu.train.optim import make_optimizer, onecycle
 from maestro_tpu.train.state import TrainState, ema_momentum, ema_update
 from maestro_tpu.train.steps import (
     compute_metrics,
     init_metric_states,
     make_pretrain_eval_step,
+    make_pretrain_multistep,
     make_pretrain_step,
     make_supervised_eval_step,
     make_supervised_step,
@@ -102,7 +110,11 @@ class Experiment:
     # ------------------------------------------------------------------
     @property
     def writer(self):
+        """TensorBoard writer; a no-op sink on non-primary processes."""
         if self._writer is None:
+            if not is_primary():
+                self._writer = _NullWriter()
+                return self._writer
             try:
                 from tensorboardX import SummaryWriter
 
@@ -115,18 +127,29 @@ class Experiment:
         self.writer.add_scalar(tag, value, step)
 
     def _append_jsonl(self, record: dict) -> None:
-        """Plain-file experiment tracking (ClearML-equivalent sink)."""
+        """Plain-file experiment tracking (ClearML-equivalent sink), rank 0."""
         import json
 
+        if not is_primary():
+            return
         with (self.workdir / "metrics.jsonl").open("a") as f:
             f.write(json.dumps(record, default=float) + "\n")
 
-    def _log_images(self, phase, epoch, state, val_loader, rng) -> None:
-        """Per-epoch image logging (reference train/logger.py ImageLogger)."""
+    def _log_images(self, phase, epoch, state, np_batch, rng) -> None:
+        """Per-epoch image logging (reference train/logger.py ImageLogger).
+
+        Logs up to ``run.logged_images_per_epoch`` samples from one fixed val
+        batch (fetched once per phase by fit_phase, not per epoch).
+        """
         from maestro_tpu.train.logging import EpochImageLogger
 
-        np_batch = next(iter(val_loader))
+        if not is_primary():
+            return
         batch = self._device_batch(np_batch)
+        n_samples = min(
+            self.cfg.run.logged_images_per_epoch,
+            np_batch[self.datasets.dataset.log_inputs[0]].shape[0],
+        )
         logger = EpochImageLogger(
             self.writer, self.datasets.dataset.log_inputs,
             self.cfg.run.logged_images_per_epoch,
@@ -135,19 +158,45 @@ class Experiment:
             pixels, masks, targets = self.model.apply(
                 state.params, batch, "pretrain", rngs={"mask": rng},
             )
-            logger.log_reconstruction(phase, "val", epoch, targets, pixels, masks)
+            for i in range(n_samples):
+                logger.log_reconstruction(
+                    phase, "val", epoch, targets, pixels, masks, sample=i,
+                )
             return
         logits = self.model.apply(state.params, batch, phase)
         for hs in self.model.head_specs:
             if hs.type_target != "segment":
                 continue
-            image = np_batch[self.datasets.dataset.log_inputs[0]][0, 0]
-            logger.log_segmentation(
-                phase, "val", epoch, hs.name, image,
-                np.asarray(logits[hs.name][0, 0]),
-                np_batch[hs.name][0, 0, 0],
-                hs.num_classes, hs.missing_val,
+            for i in range(n_samples):
+                image = np_batch[self.datasets.dataset.log_inputs[0]][i, 0]
+                logger.log_segmentation(
+                    phase, "val", epoch, hs.name, image,
+                    np.asarray(logits[hs.name][i, 0]),
+                    np_batch[hs.name][i, 0, 0],
+                    hs.num_classes, hs.missing_val, sample=i,
+                )
+
+    def _log_confusion(self, phase, stage, epoch, metric_states) -> None:
+        """CM heatmaps to TB + .npy dumps (reference train/logger.py:143-305)."""
+        from maestro_tpu.train.logging import (
+            confusion_matrix_image,
+            dump_confusion_matrix,
+        )
+
+        if not is_primary() or metric_states is None:
+            return
+        for hs in self.model.head_specs:
+            st = metric_states[hs.name]
+            cm = np.asarray(st["cm"] if isinstance(st, dict) else st)
+            dump_confusion_matrix(
+                cm,
+                self.workdir / "cm" / f"{phase}_{stage}_{hs.name}_epoch{epoch}.npy",
             )
+            if cm.ndim == 2:  # mono-label CxC matrix -> heatmap image
+                self.writer.add_image(
+                    f"{phase}_{hs.name}_{stage}/confusion_matrix",
+                    confusion_matrix_image(cm), epoch,
+                )
 
     # ------------------------------------------------------------------
     def init_params(self, phase: str, batch: dict, seed: int):
@@ -164,6 +213,14 @@ class Experiment:
         return fresh
 
     def _device_batch(self, np_batch: dict) -> dict:
+        if jax.process_count() > 1:
+            # each host loaded a disjoint slice of the global batch; assemble
+            # the global sharded arrays from the process-local data
+            shardings = batch_shardings(self.mesh, np_batch)
+            return {
+                k: jax.make_array_from_process_local_data(shardings[k], v)
+                for k, v in np_batch.items()
+            }
         batch = {k: jnp.asarray(v) for k, v in np_batch.items()}
         return shard_batch(self.mesh, batch)
 
@@ -190,16 +247,19 @@ class Experiment:
 
         steps_per_epoch = max(len(train_loader) // opt.accumulate_grad_batches, 1)
         total_steps = steps_per_epoch * opt.epochs
-        num_devices = self.mesh.devices.size
+        # LR scaling counts data-parallel replicas only (reference scales by
+        # num_nodes * num_devices, train/model.py:123-133)
+        num_replicas = self.mesh.shape[DATA_AXIS]
         # frozen baseline backbones train heads only, like probing
         freeze_phase = (
             "probe" if (self.is_baseline and cfg.model.freeze and phase != "pretrain")
             else phase
         )
         tx = make_optimizer(
-            opt, freeze_phase, total_steps, params, num_devices,
+            opt, freeze_phase, total_steps, params, num_replicas,
             lw_decay=getattr(opt, "lw_decay", None),
         )
+        lr_schedule = onecycle(opt, total_steps, num_replicas)
         state = TrainState.create(params, tx, use_ema=cfg.model.use_ema)
         self.params = None  # freed into state
 
@@ -208,13 +268,20 @@ class Experiment:
             log.info("resumed %s from %s (step=%d)", phase, resume_path,
                      int(state.step))
 
+        donate = cfg.trainer.donate_state
+        multi_step = None
         if phase == "pretrain":
             train_step = make_pretrain_step(self.model, self.plan, tx,
-                                            cfg.model.loss)
+                                            cfg.model.loss, donate=donate)
+            if cfg.trainer.steps_per_dispatch > 1:
+                multi_step = make_pretrain_multistep(
+                    self.model, self.plan, tx, cfg.model.loss, donate=donate,
+                )
             eval_step = make_pretrain_eval_step(self.model, self.plan,
                                                 cfg.model.loss)
         else:
-            train_step = make_supervised_step(self.model, phase, tx)
+            train_step = make_supervised_step(self.model, phase, tx,
+                                              donate=donate)
             eval_step = make_supervised_eval_step(
                 self.model, phase, use_ema=(phase == "finetune"),
             )
@@ -222,25 +289,33 @@ class Experiment:
         rng = jax.random.PRNGKey(seed + 1)
         result = PhaseResult(phase, 0, -1, None)
         best_monitor, best_epoch, best_path, stale = -np.inf, -1, None, 0
+        viz_batch = (
+            next(iter(val_loader))
+            if val_loader is not None and cfg.run.logged_images_per_epoch > 0
+            else None
+        )
 
         for epoch in range(opt.epochs):
             t0 = time.time()
             train_logs = self._run_train_epoch(
                 phase, state, train_step, train_loader, rng,
+                multi_step=multi_step,
+                steps_per_dispatch=cfg.trainer.steps_per_dispatch,
             )
             state = train_logs.pop("state")
             if state.ema_params is not None:
                 state = ema_update(state, ema_momentum(opt.epochs))
 
-            val_logs = {}
+            val_logs, val_states = {}, None
             if val_loader is not None:
-                val_logs = self._run_eval_epoch(
+                val_logs, val_states = self._run_eval_epoch(
                     phase, state, eval_step, val_loader, rng,
                 )
 
             epoch_log = {
                 "epoch": epoch,
                 "time_s": round(time.time() - t0, 2),
+                "lr": float(lr_schedule(max(int(state.step) - 1, 0))),
                 **{f"train/{k}": v for k, v in train_logs.items()},
                 **{f"val/{k}": v for k, v in _flat_metrics(val_logs).items()},
             }
@@ -251,9 +326,11 @@ class Experiment:
             self._append_jsonl({"phase": phase, **epoch_log})
             log.info("%s epoch %d: %s", phase, epoch, epoch_log)
 
-            if self.cfg.run.logged_images_per_epoch > 0 and val_loader is not None:
+            if phase != "pretrain":
+                self._log_confusion(phase, "val", epoch, val_states)
+            if viz_batch is not None:
                 try:
-                    self._log_images(phase, epoch, state, val_loader, rng)
+                    self._log_images(phase, epoch, state, viz_batch, rng)
                 except Exception:  # noqa: BLE001 - viz must never kill training
                     log.exception("image logging failed")
 
@@ -276,34 +353,56 @@ class Experiment:
         result.best_epoch = best_epoch
         result.best_monitor = None if best_monitor == -np.inf else float(best_monitor)
         if val_loader is not None:
-            result.val_metrics = _flat_metrics(
-                self._run_eval_epoch(phase, state, eval_step, val_loader, rng),
+            final_val, _ = self._run_eval_epoch(
+                phase, state, eval_step, val_loader, rng,
             )
+            result.val_metrics = _flat_metrics(final_val)
 
         # test on best checkpoint
         if test_loader is not None and best_path is not None:
             state = ckpt.restore_state(best_path, state)
-            result.test_metrics = _flat_metrics(
-                self._run_eval_epoch(phase, state, eval_step, test_loader, rng),
+            test_metrics, test_states = self._run_eval_epoch(
+                phase, state, eval_step, test_loader, rng,
             )
+            result.test_metrics = _flat_metrics(test_metrics)
+            if phase != "pretrain":
+                self._log_confusion(phase, "test", best_epoch, test_states)
             log.info("%s test: %s", phase, result.test_metrics)
 
         self.params = jax.tree.map(lambda x: x, state.params)
         return result
 
     # ------------------------------------------------------------------
-    def _run_train_epoch(self, phase, state, train_step, loader, rng) -> dict:
+    def _run_train_epoch(
+        self, phase, state, train_step, loader, rng,
+        multi_step=None, steps_per_dispatch: int = 1,
+    ) -> dict:
         losses = []
+        log_every = self.cfg.trainer.log_every_steps
         metric_states = (
             init_metric_states(self.model.head_specs) if phase != "pretrain" else None
         )
-        for np_batch in loader:
-            batch = self._device_batch(np_batch)
-            if phase == "pretrain":
-                state, logs = train_step(state, batch, rng)
-            else:
-                state, metric_states, logs = train_step(state, batch, metric_states)
-            losses.append(logs)
+        if multi_step is not None and phase == "pretrain":
+            # fuse K steps per host dispatch (amortizes dispatch latency)
+            state, losses = self._run_scanned_epoch(
+                state, multi_step, train_step, loader, rng, steps_per_dispatch,
+            )
+        else:
+            for np_batch in loader:
+                batch = self._device_batch(np_batch)
+                if phase == "pretrain":
+                    state, logs = train_step(state, batch, rng)
+                else:
+                    state, metric_states, logs = train_step(
+                        state, batch, metric_states,
+                    )
+                losses.append(logs)
+                step_i = int(state.step)
+                if log_every > 0 and step_i % log_every == 0:
+                    key = "loss_rec" if phase == "pretrain" else "loss_pred"
+                    self._log_scalar(
+                        f"{phase}_train/{key}_step", float(logs[key]), step_i,
+                    )
         out = {
             k: float(np.mean([float(l[k]) for l in losses]))
             for k in (losses[0] if losses else {})
@@ -315,14 +414,48 @@ class Experiment:
         out["state"] = state
         return out
 
-    def _run_eval_epoch(self, phase, state, eval_step, loader, rng) -> dict:
+    def _run_scanned_epoch(
+        self, state, multi_step, train_step, loader, rng, k: int,
+    ) -> tuple[TrainState, list[dict]]:
+        """Drive the epoch in K-step scanned dispatches; remainder singly."""
+        losses: list[dict] = []
+        pending: list[dict] = []
+        for np_batch in loader:
+            pending.append(np_batch)
+            if len(pending) == k:
+                stack = {
+                    key: self._device_stack(
+                        np.stack([np.asarray(b[key]) for b in pending]),
+                    )
+                    for key in pending[0]
+                }
+                state, loss_k = multi_step(state, stack, rng)
+                losses.extend(
+                    {"loss_rec": v} for v in np.asarray(loss_k).tolist()
+                )
+                pending = []
+        for np_batch in pending:  # remainder < K
+            batch = self._device_batch(np_batch)
+            state, logs = train_step(state, batch, rng)
+            losses.append(logs)
+        return state, losses
+
+    def _device_stack(self, v):
+        """Shard a [K, B, ...] stacked super-batch over the data axis (dim 1)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        spec = P(None, DATA_AXIS, *(None,) * (v.ndim - 2))
+        return jax.device_put(v, NamedSharding(self.mesh, spec))
+
+    def _run_eval_epoch(self, phase, state, eval_step, loader, rng):
+        """Returns (metrics dict, raw metric states or None)."""
         losses = []
         if phase == "pretrain":
             for i, np_batch in enumerate(loader):
                 batch = self._device_batch(np_batch)
                 logs = eval_step(state.params, batch, jax.random.fold_in(rng, i))
                 losses.append(float(logs["loss_rec"]))
-            return {"loss_rec": float(np.mean(losses))} if losses else {}
+            return ({"loss_rec": float(np.mean(losses))} if losses else {}), None
 
         metric_states = init_metric_states(self.model.head_specs)
         for np_batch in loader:
@@ -331,10 +464,39 @@ class Experiment:
             losses.append(float(logs["loss_pred"]))
         out: dict[str, Any] = compute_metrics(self.model.head_specs, metric_states)
         out["loss_pred"] = float(np.mean(losses)) if losses else 0.0
-        return out
+        return out, metric_states
 
 
 # --------------------------------------------------------------------------
+def resolve_run_handles(run) -> None:
+    """Name-based checkpoint discovery (reference hydra_utils.py:17-48).
+
+    ``run.load_name/load_phase[/load_uuid]`` resolve to the newest
+    ``{phase}-epoch=N`` checkpoint under ``exp_dir/load_name[/load_uuid]``;
+    same for ``fit_*``. Explicit ``*_ckpt_path`` values win.
+    """
+    for kind in ("load", "fit"):
+        if getattr(run, f"{kind}_ckpt_path"):
+            continue
+        name = getattr(run, f"{kind}_name")
+        if not name:
+            continue
+        base = Path(run.exp_dir) / name
+        uid = getattr(run, f"{kind}_uuid")
+        if uid:
+            base = base / uid
+        phase = getattr(run, f"{kind}_phase")
+        path = ckpt.find_latest_checkpoint(base, phase)
+        if path is None:
+            msg = (
+                f"run.{kind}_name={name!r}: no '{phase}-epoch=*' checkpoint "
+                f"found under {base}"
+            )
+            raise FileNotFoundError(msg)
+        setattr(run, f"{kind}_ckpt_path", str(path))
+        log.info("resolved run.%s_name=%s -> %s", kind, name, path)
+
+
 def run_experiment(
     cfg: ExperimentConfig,
     datasets: DatasetsConfig,
@@ -342,6 +504,10 @@ def run_experiment(
 ) -> dict[str, PhaseResult]:
     """Sequence pretrain -> probe -> finetune (reference run_experiment.py)."""
     from maestro_tpu.data.loader import make_loader
+    from maestro_tpu.parallel.distributed import initialize_distributed
+
+    initialize_distributed()  # no-op single-host; wires DCN rendezvous on pods
+    resolve_run_handles(cfg.run)
 
     workdir = Path(workdir or Path(cfg.run.exp_dir) / cfg.run.exp_name)
     exp = Experiment(cfg, datasets, workdir)
@@ -363,11 +529,17 @@ def run_experiment(
             continue  # pretrain-only datasets (S2-NAIP)
         if phase == "pretrain" and exp.is_baseline:
             continue  # baseline adapters only probe/finetune
+        # opt.batch_size is per data-parallel shard (reference: per device);
+        # each host loads its process-local slice of the global batch
+        global_batch = opt.batch_size * exp.mesh.shape[DATA_AXIS]
+        local_batch = local_batch_slice(global_batch)
         loaders = {}
         for stage in ("train", "val", "test"):
             _, loaders[stage] = make_loader(
-                datasets, cfg.data, stage, phase, opt.batch_size,
+                datasets, cfg.data, stage, phase, local_batch,
                 seed=cfg.run.seed,
+                shard_index=jax.process_index(),
+                shard_count=jax.process_count(),
             )
         resume = (
             cfg.run.fit_ckpt_path

@@ -33,13 +33,18 @@ def make_pretrain_step(
 ) -> Callable:
     from maestro_tpu.ops.fused_loss import fused_reconstruction_loss
 
-    loss_impl = fused_reconstruction_loss if fused_loss else reconstruction_loss
-
     def loss_fn(params, batch, rng):
+        if fused_loss:
+            # token-space reconstruction: no pixel grid materialized
+            rec, masks, targets = model.apply(
+                params, batch, "pretrain", False, rngs={"mask": rng},
+            )
+            return fused_reconstruction_loss(plan, targets, rec, masks,
+                                             loss_type)
         pixels, masks, targets = model.apply(
             params, batch, "pretrain", rngs={"mask": rng},
         )
-        return loss_impl(plan, targets, pixels, masks, loss_type)
+        return reconstruction_loss(plan, targets, pixels, masks, loss_type)
 
     def step(state: TrainState, batch: dict, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
@@ -70,13 +75,17 @@ def make_pretrain_multistep(
     """
     from maestro_tpu.ops.fused_loss import fused_reconstruction_loss
 
-    loss_impl = fused_reconstruction_loss if fused_loss else reconstruction_loss
-
     def loss_fn(params, batch, rng):
+        if fused_loss:
+            rec, masks, targets = model.apply(
+                params, batch, "pretrain", False, rngs={"mask": rng},
+            )
+            return fused_reconstruction_loss(plan, targets, rec, masks,
+                                             loss_type)
         pixels, masks, targets = model.apply(
             params, batch, "pretrain", rngs={"mask": rng},
         )
-        return loss_impl(plan, targets, pixels, masks, loss_type)
+        return reconstruction_loss(plan, targets, pixels, masks, loss_type)
 
     def multistep(state: TrainState, batch_stack: dict, rng: jax.Array):
         # identical rng derivation to the single-step path: fold the caller

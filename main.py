@@ -20,8 +20,11 @@ from typing import Any
 def coerce(value: str, current: Any) -> Any:
     if value.lower() in ("none", "null"):
         return None
-    if isinstance(current, bool) or value.lower() in ("true", "false"):
+    if value.lower() in ("true", "false"):
         return value.lower() == "true"
+    if isinstance(current, bool):
+        # bool-or-string fields (e.g. trainer.remat="dots") pass through
+        return value
     for cast in (int, float):
         try:
             if isinstance(current, cast) or current is None:
@@ -86,6 +89,10 @@ def main(argv: list[str] | None = None) -> None:
     )
     cfg, datasets = parse_cli(argv if argv is not None else sys.argv[1:])
 
+    from maestro_tpu.parallel.distributed import initialize_distributed, is_primary
+
+    initialize_distributed()
+
     if cfg.run.reproducible:
         import numpy as np
 
@@ -94,19 +101,20 @@ def main(argv: list[str] | None = None) -> None:
 
     workdir = Path(cfg.run.exp_dir) / cfg.run.exp_name / cfg.run.exp_uuid
     workdir.mkdir(parents=True, exist_ok=True)
-    (workdir / "config_resolved.json").write_text(
-        json.dumps(
-            {
-                "experiment": dataclasses.asdict(cfg),
-                "datasets": {
-                    "root_dir": datasets.root_dir,
-                    "name_dataset": datasets.name_dataset,
+    if is_primary():
+        (workdir / "config_resolved.json").write_text(
+            json.dumps(
+                {
+                    "experiment": dataclasses.asdict(cfg),
+                    "datasets": {
+                        "root_dir": datasets.root_dir,
+                        "name_dataset": datasets.name_dataset,
+                    },
                 },
-            },
-            indent=2,
-            default=str,
-        ),
-    )
+                indent=2,
+                default=str,
+            ),
+        )
 
     from maestro_tpu.train.runtime import run_experiment
 

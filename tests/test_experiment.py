@@ -41,7 +41,7 @@ def test_full_experiment_all_phases(treesat_root, tmp_path):
         data=DataConfig(num_workers=2, use_transform=True, random_dates=True),
         mask=MaskConfig(),
         model=ModelConfig(
-            model_size="tiny", fusion_mode="group", inter_depth=3, use_ema=True,
+            model_size="micro", fusion_mode="group", inter_depth=1, use_ema=True,
         ),
         trainer=TrainerConfig(mesh_data=1, mesh_model=1,
                               compute_dtype="float32"),
@@ -61,3 +61,53 @@ def test_full_experiment_all_phases(treesat_root, tmp_path):
     for phase in ("pretrain", "probe", "finetune"):
         path = find_latest_checkpoint(tmp_path / "work" / "checkpoints", phase)
         assert path is not None, phase
+
+    # observability wiring: LR logged per epoch, CM dumps + metrics.jsonl
+    for res in results.values():
+        assert all("lr" in e and np.isfinite(e["lr"]) for e in res.history)
+    cm_files = list((tmp_path / "work" / "cm").glob("*.npy"))
+    assert cm_files, "no confusion-matrix dumps written"
+    assert (tmp_path / "work" / "metrics.jsonl").exists()
+
+    # warm start a new probe experiment by NAME (reference pre_call_resolve):
+    # checkpoints of the first run live under exp_dir/work/checkpoints
+    cfg2 = ExperimentConfig(
+        run=RunConfig(exp_dir=str(tmp_path), exp_name="e2e_transfer", seed=0,
+                      load_name="work", load_phase="pretrain"),
+        opt_pretrain=OptPretrainConfig(epochs=0),
+        opt_probe=OptProbeConfig(epochs=1, batch_size=2),
+        opt_finetune=OptFinetuneConfig(epochs=0),
+        data=DataConfig(num_workers=2),
+        mask=MaskConfig(),
+        model=ModelConfig(model_size="micro", fusion_mode="group", inter_depth=1),
+        trainer=TrainerConfig(mesh_data=1, mesh_model=1,
+                              compute_dtype="float32"),
+    )
+    datasets2 = DatasetsConfig(root_dir=str(treesat_root),
+                               name_dataset="treesatai_ts")
+    datasets2.treesatai_ts.rel_dir = ""
+    results2 = run_experiment(cfg2, datasets2, tmp_path / "work2")
+    assert cfg2.run.load_ckpt_path is not None  # name resolved to a path
+    assert "treesat_mlc_thresh/weighted_f1" in results2["probe"].val_metrics
+
+
+def test_steps_per_dispatch_scanned_epoch(tmp_path, tmp_path_factory):
+    """trainer.steps_per_dispatch>1 drives the epoch through lax.scan."""
+    root = tmp_path_factory.mktemp("treesat_scan")
+    write_treesat_fixture(root, num_tiles=4)
+    datasets = DatasetsConfig(root_dir=str(root), name_dataset="treesatai_ts")
+    datasets.treesatai_ts.rel_dir = ""
+    cfg = ExperimentConfig(
+        run=RunConfig(exp_dir=str(tmp_path), exp_name="scan", seed=0,
+                      logged_images_per_epoch=0),
+        opt_pretrain=OptPretrainConfig(epochs=1, batch_size=2),
+        opt_probe=OptProbeConfig(epochs=0),
+        opt_finetune=OptFinetuneConfig(epochs=0),
+        data=DataConfig(num_workers=2),
+        model=ModelConfig(model_size="micro", fusion_mode="group", inter_depth=1),
+        trainer=TrainerConfig(mesh_data=1, compute_dtype="float32",
+                              steps_per_dispatch=2),
+    )
+    results = run_experiment(cfg, datasets, tmp_path / "work")
+    hist = results["pretrain"].history[0]
+    assert np.isfinite(hist["train/loss_rec"])

@@ -59,3 +59,68 @@ def test_fused_non_norm_falls_back():
     ref = reconstruction_loss(plan, targets, rec, masks, "l1")
     fused = fused_reconstruction_loss(plan, targets, rec, masks, "l1")
     np.testing.assert_allclose(float(fused), float(ref), rtol=1e-6)
+
+
+def test_token_space_loss_matches_pixel_space():
+    """model return_pixels=False + fused loss == pixel path + reference loss."""
+    from maestro_tpu.conf import ModelConfig
+    from maestro_tpu.models.mae import build_model
+    from maestro_tpu.utils.testing import make_synthetic_batch
+
+    datasets = DatasetsConfig(name_dataset="treesatai_ts")
+    cfg = ModelConfig(model_size="micro", fusion_mode="group", inter_depth=1)
+    model, plan = build_model(datasets, MaskConfig(), cfg, dtype=jnp.float32)
+    batch = {k: jnp.asarray(v) for k, v in
+             make_synthetic_batch(datasets.dataset, 2).items()}
+    key = jax.random.PRNGKey(0)
+    params = jax.jit(
+        lambda b: model.init({"params": key, "mask": key}, b, "pretrain"),
+    )(batch)
+
+    rng = jax.random.PRNGKey(5)
+    pixels, pmasks, targets = jax.jit(
+        lambda p, b: model.apply(p, b, "pretrain", rngs={"mask": rng}),
+    )(params, batch)
+    ref = reconstruction_loss(plan, targets, pixels, pmasks, "l1_norm")
+
+    rec_t, tmasks, targets_t = jax.jit(
+        lambda p, b: model.apply(p, b, "pretrain", False, rngs={"mask": rng}),
+    )(params, batch)
+    for name, spec in plan.mod_specs.items():
+        if spec.len_bands == 1:
+            assert rec_t[name].ndim == 4, name  # token space
+            assert tmasks[name].ndim == 3, name
+    fused = fused_reconstruction_loss(plan, targets_t, rec_t, tmasks,
+                                      "l1_norm", stage_dtype=jnp.float32)
+    np.testing.assert_allclose(float(fused), float(ref), rtol=1e-5)
+
+
+def test_token_space_gradients_flow():
+    """Gradients reach the decoder through the token-space fused loss."""
+    from maestro_tpu.conf import ModelConfig
+    from maestro_tpu.models.mae import build_model
+    from maestro_tpu.utils.testing import make_synthetic_batch
+
+    datasets = DatasetsConfig(name_dataset="treesatai_ts")
+    cfg = ModelConfig(model_size="micro", fusion_mode="group", inter_depth=1)
+    model, plan = build_model(datasets, MaskConfig(), cfg, dtype=jnp.float32)
+    batch = {k: jnp.asarray(v) for k, v in
+             make_synthetic_batch(datasets.dataset, 2).items()}
+    key = jax.random.PRNGKey(0)
+    params = jax.jit(
+        lambda b: model.init({"params": key, "mask": key}, b, "pretrain"),
+    )(batch)
+
+    def loss_fn(p):
+        rec, masks, targets = model.apply(
+            p, batch, "pretrain", False, rngs={"mask": jax.random.PRNGKey(5)},
+        )
+        return fused_reconstruction_loss(plan, targets, rec, masks, "l1_norm",
+                                         stage_dtype=jnp.float32)
+
+    grads = jax.jit(jax.grad(loss_fn))(params)
+    gnorm = sum(
+        float(jnp.sum(jnp.abs(g)))
+        for g in jax.tree_util.tree_leaves(grads["params"])
+    )
+    assert np.isfinite(gnorm) and gnorm > 0.0

@@ -59,9 +59,20 @@ def _to_torch_layout(params, plan) -> dict[str, np.ndarray]:
             g = 0
             while f"proj{g}" in tree:
                 rec = f"embed_to_rec.{embed}.pixelify_bands.{g}."
-                kern = np.asarray(tree[f"proj{g}"]["kernel"])  # [E, out]
-                src[f"{rec}conv.weight"] = kern.T[:, :, None, None]
-                src[f"{rec}conv.bias"] = tree[f"proj{g}"]["bias"]
+                spec = next(s for s in plan.mod_specs.values()
+                            if s.name_embed == embed)
+                c, pp = spec.band_groups[g], spec.patch_size
+                kern = np.asarray(tree[f"proj{g}"]["kernel"])  # [E, C*p*p]
+                e = kern.shape[0]
+                # our (C, ph, pw) -> torch pixel-shuffle (ph, pw, C) order
+                k = kern.reshape(e, c, pp, pp).transpose(0, 2, 3, 1)
+                src[f"{rec}conv.weight"] = (
+                    k.reshape(e, -1).T[:, :, None, None]
+                )
+                bias = np.asarray(tree[f"proj{g}"]["bias"])
+                src[f"{rec}conv.bias"] = (
+                    bias.reshape(c, pp, pp).transpose(1, 2, 0).reshape(-1)
+                )
                 g += 1
         elif key.startswith("mask_token_"):
             src[f"mask_token.{key.removeprefix('mask_token_')}"] = tree

@@ -118,6 +118,43 @@ def test_patchify_parity():
     np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
 
 
+def test_pixelify_parity():
+    """Reference Pixelify: 1x1 conv then rearrange '(p1 p2 c) h w -> ...'.
+
+    Anchors the (ph, pw, C) -> (C, ph, pw) output-feature permutation the
+    porter applies (torch_port._pixelify_kernel) to real torch semantics
+    (reference embed.py:123-160).
+    """
+    from maestro_tpu.models.embed import Pixelify
+    from maestro_tpu.port.torch_port import _pixelify_bias, _pixelify_kernel
+
+    torch.manual_seed(3)
+    chans, patch, grid, dim = 3, 4, 5, DIM
+    conv = nn.Conv2d(dim, chans * patch * patch, kernel_size=1)
+    x = torch.randn(2, 2, grid * grid, dim)  # [B, D, L, E] tokens
+    with torch.no_grad():
+        # tokens -> [BD, E, h, w] -> conv -> pixel shuffle (p1 p2 c) order
+        y = conv(
+            x.flatten(0, 1).transpose(1, 2).unflatten(2, (grid, grid)),
+        )  # [BD, p*p*C, h, w]
+        y = y.unflatten(1, (patch, patch, chans))  # [BD, p1, p2, C, h, w]
+        y = y.permute(0, 3, 4, 1, 5, 2)  # [BD, C, h, p1, w, p2]
+        ref = y.reshape(4, chans, grid * patch, grid * patch)
+        ref = ref.unflatten(0, (2, 2)).numpy()  # [B, D, C, H, W]
+
+    params = {"params": {"proj0": {
+        "kernel": _pixelify_kernel(
+            conv.weight.detach().numpy(), patch, chans,
+        ),
+        "bias": _pixelify_bias(conv.bias.detach().numpy(), patch, chans),
+    }}}
+    jmodel = Pixelify(band_groups=(chans,), patch_size=patch, dtype=jnp.float32)
+    out, _ = jmodel.apply(
+        jax.tree.map(jnp.asarray, params), jnp.asarray(x.numpy()), None,
+    )
+    np.testing.assert_allclose(np.asarray(out), ref, atol=2e-5)
+
+
 class TorchAttentiveReduce(nn.Module):
     def __init__(self):
         super().__init__()
