@@ -123,6 +123,10 @@ class ModelConfig:
     loss: str = "l1_norm"
     use_date_enc: bool = True
     use_ema: bool = True
+    # decoder head-split overrides (None = TPU-native arch default, 4 x 128;
+    # set 16/32 to match reference checkpoints ported with the torch split)
+    decoder_heads: int | None = None
+    decoder_dim_head: int | None = None
     # baseline adapter options
     freeze: bool = False
     weight_source: str = "imagenat"

@@ -14,7 +14,7 @@ medium/base d768x12L mlp*4, large d1024x24L; decoder d512, depth 1/2/3/4.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 from typing import Any
 
 import jax
@@ -54,13 +54,19 @@ class MAEArch:
 
 
 MAE_ARCHS: dict[str, MAEArch] = {
-    # "micro" is a test-only size for fast CPU CI; not a reference variant
+    # Decoder head split is 4 heads x 128 dim_head (same 512 inner width and
+    # identical parameter shapes/FLOPs as the reference's 16 x 32 split,
+    # /root/reference/maestro/ssl/mae.py:345-360) because 128-dim heads fill
+    # the TPU MXU's 128 reduction lanes in the score matmuls; 32-dim heads run
+    # them at 25% utilization. Reference checkpoints ported with the original
+    # 16 x 32 split set ModelConfig.decoder_heads/decoder_dim_head.
+    # "micro" is a test-only size for fast CPU CI; not a reference variant.
     "micro": MAEArch(64, 2, 2, 32, 2, 48, 1, 2, 24, 2),
-    "tiny": MAEArch(192, 12, 3, 64, 2, 512, 1, 16, 32, 4),
-    "small": MAEArch(384, 12, 6, 64, 2, 512, 2, 16, 32, 4),
-    "medium": MAEArch(768, 12, 12, 64, 4, 512, 3, 16, 32, 4),
-    "base": MAEArch(768, 12, 12, 64, 4, 512, 3, 16, 32, 4),
-    "large": MAEArch(1024, 24, 16, 64, 4, 512, 4, 16, 32, 4),
+    "tiny": MAEArch(192, 12, 3, 64, 2, 512, 1, 4, 128, 4),
+    "small": MAEArch(384, 12, 6, 64, 2, 512, 2, 4, 128, 4),
+    "medium": MAEArch(768, 12, 12, 64, 4, 512, 3, 4, 128, 4),
+    "base": MAEArch(768, 12, 12, 64, 4, 512, 3, 4, 128, 4),
+    "large": MAEArch(1024, 24, 16, 64, 4, 512, 4, 4, 128, 4),
 }
 
 
@@ -441,6 +447,17 @@ def build_model(
     plan = build_fusion_plan(dataset, mask, model_cfg.fusion_mode, model="mae")
     head_specs = build_head_specs(dataset, plan)
     arch = MAE_ARCHS[model_cfg.model_size]
+    if model_cfg.decoder_heads or model_cfg.decoder_dim_head:
+        heads = model_cfg.decoder_heads or arch.decoder_heads
+        dim_head = model_cfg.decoder_dim_head or arch.decoder_dim_head
+        if heads * dim_head != arch.decoder_heads * arch.decoder_dim_head:
+            msg = (
+                f"decoder_heads*decoder_dim_head ({heads}*{dim_head}) must "
+                f"keep the {arch.decoder_heads * arch.decoder_dim_head} inner "
+                "width so parameter shapes stay port-compatible."
+            )
+            raise ValueError(msg)
+        arch = replace(arch, decoder_heads=heads, decoder_dim_head=dim_head)
     module = MaestroMAE(
         plan=plan,
         arch=arch,

@@ -39,14 +39,14 @@ class Attention(nn.Module):
 
         b, l, _ = x.shape
         shape = (b, l, self.heads, self.dim_head)
-        q = q.reshape(shape).transpose(0, 2, 1, 3)
-        k = k.reshape(shape).transpose(0, 2, 1, 3)
-        v = v.reshape(shape).transpose(0, 2, 1, 3)
+        q = q.reshape(shape)
+        k = k.reshape(shape)
+        v = v.reshape(shape)
 
-        from maestro_tpu.ops.attention import mha
+        from maestro_tpu.ops.attention import mha_blhd
 
-        out = mha(q, k, v, sm_scale=self.dim_head**-0.5)
-        out = out.transpose(0, 2, 1, 3).reshape(b, l, inner)
+        out = mha_blhd(q, k, v, sm_scale=self.dim_head**-0.5)
+        out = out.reshape(b, l, inner)
         return nn.Dense(self.dim, dtype=self.dtype, name="out")(out)
 
 
