@@ -1,0 +1,378 @@
+"""End-to-end golden parity: full torch MAE forward vs ported JAX forward.
+
+Assembles a complete torch MAE whose modules follow the reference's exact op
+semantics and state-dict layout (ssl/mim.py template forward, ssl/mae.py
+module tree, layers/embed.py Patchify/Pixelify, vit-pytorch Transformer
+naming), ports its seeded state dict through ``port_mae_state_dict``, and
+checks that the FULL pretrain reconstruction and probe logits agree to fp32
+tolerance.  This is the end-to-end correctness basis for porting the released
+MAESTRO checkpoints (reference README.md:37-39): every inter-module wiring
+step (patchify -> encodings -> group -> encoders -> inter trunk ->
+enc_to_dec -> decoder encodings -> decoders -> pixelify -> heads) is covered,
+not just per-module weight mapping.
+
+Masking is disabled (mask_ratio=0, no structural masks) so both forwards are
+deterministic: the JAX side still shuffles tokens internally, but every
+module between shuffle and unmask is permutation-equivariant, so outputs
+match.  Positional/date encodings are deterministic buffers shared by both
+sides (their parity vs the reference is covered by test_posenc_parity.py);
+the fusion group/ungroup layout comes from the same FusionPlan (covered by
+test_fusion_plan.py).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+from torch import nn  # noqa: E402
+
+from maestro_tpu.conf import MaskConfig, ModelConfig  # noqa: E402
+from maestro_tpu.models.mae import MAE_ARCHS, build_model  # noqa: E402
+from maestro_tpu.ops.posenc import build_pos_encoding, encode_dates  # noqa: E402
+from maestro_tpu.port.torch_port import (  # noqa: E402
+    merge_into_template,
+    port_mae_state_dict,
+)
+from maestro_tpu.utils.testing import make_synthetic_batch  # noqa: E402
+
+
+# --------------------------------------------------------------------------
+# torch reference modules (reference layers/embed.py + vit-pytorch layout)
+# --------------------------------------------------------------------------
+class TorchPatchifyBand(nn.Module):
+    def __init__(self, chans, patch, dim):
+        super().__init__()
+        self.conv = nn.Conv2d(chans, dim, kernel_size=patch, stride=patch)
+        self.norm = nn.GroupNorm(1, dim)
+
+    def forward(self, x):  # [BD, C, H, W] -> [BD, L, E]
+        y = self.norm(self.conv(x))
+        return y.flatten(2).transpose(1, 2)
+
+
+class TorchPatchify(nn.Module):
+    """Reference Patchify: split band groups, concat on the date axis."""
+
+    def __init__(self, band_groups, patch, dim):
+        super().__init__()
+        self.band_groups = band_groups
+        self.patchify_bands = nn.ModuleList(
+            [TorchPatchifyBand(c, patch, dim) for c in band_groups],
+        )
+
+    def forward(self, x):  # [B, D, C, H, W] -> [B, G*D, L, E]
+        b, d = x.shape[:2]
+        outs, off = [], 0
+        for chans, mod in zip(self.band_groups, self.patchify_bands):
+            xg = x[:, :, off : off + chans].flatten(0, 1)
+            off += chans
+            outs.append(mod(xg).unflatten(0, (b, d)))
+        return torch.cat(outs, dim=1)
+
+
+class TorchPixelifyBand(nn.Module):
+    def __init__(self, dim, chans, patch):
+        super().__init__()
+        self.chans, self.patch = chans, patch
+        self.conv = nn.Conv2d(dim, chans * patch * patch, kernel_size=1)
+
+    def forward(self, x, grid):  # [BD, L, E] -> [BD, C, H, W]
+        y = self.conv(x.transpose(1, 2).unflatten(2, (grid, grid)))
+        # reference pixel shuffle order "(p1 p2 c) h w" (embed.py:154-160)
+        y = y.unflatten(1, (self.patch, self.patch, self.chans))
+        y = y.permute(0, 3, 4, 1, 5, 2)  # [BD, C, h, p1, w, p2]
+        return y.reshape(y.shape[0], self.chans, grid * self.patch,
+                         grid * self.patch)
+
+
+class TorchPixelify(nn.Module):
+    def __init__(self, band_groups, patch, dim):
+        super().__init__()
+        self.band_groups = band_groups
+        self.pixelify_bands = nn.ModuleList(
+            [TorchPixelifyBand(dim, c, patch) for c in band_groups],
+        )
+
+    def forward(self, x, grid):  # [B, G*D, L, E] -> [B, D, C, H, W]
+        b, gd = x.shape[:2]
+        g = len(self.band_groups)
+        d = gd // g
+        x = x.unflatten(1, (g, d))
+        outs = [
+            mod(x[:, i].flatten(0, 1), grid).unflatten(0, (b, d))
+            for i, mod in enumerate(self.pixelify_bands)
+        ]
+        return torch.cat(outs, dim=2)
+
+
+class TorchAttention(nn.Module):
+    def __init__(self, dim, heads, dim_head):
+        super().__init__()
+        self.heads, self.dim_head = heads, dim_head
+        inner = heads * dim_head
+        self.norm = nn.LayerNorm(dim)
+        self.to_qkv = nn.Linear(dim, inner * 3, bias=False)
+        self.to_out = nn.Sequential(nn.Linear(inner, dim), nn.Identity())
+
+    def forward(self, x):
+        y = self.norm(x)
+        qkv = self.to_qkv(y).chunk(3, dim=-1)
+        b, l, _ = x.shape
+        q, k, v = (
+            t.reshape(b, l, self.heads, self.dim_head).transpose(1, 2)
+            for t in qkv
+        )
+        attn = ((q @ k.transpose(-1, -2)) * self.dim_head**-0.5).softmax(-1)
+        return self.to_out((attn @ v).transpose(1, 2).reshape(b, l, -1))
+
+
+class TorchFeedForward(nn.Module):
+    def __init__(self, dim, hidden):
+        super().__init__()
+        self.net = nn.Sequential(
+            nn.LayerNorm(dim), nn.Linear(dim, hidden), nn.GELU(),
+            nn.Dropout(0.0), nn.Linear(hidden, dim), nn.Dropout(0.0),
+        )
+
+    def forward(self, x):
+        return self.net(x)
+
+
+class TorchTransformer(nn.Module):
+    def __init__(self, dim, depth, heads, dim_head, mlp):
+        super().__init__()
+        self.norm = nn.LayerNorm(dim)
+        self.layers = nn.ModuleList(
+            [nn.ModuleList([TorchAttention(dim, heads, dim_head),
+                            TorchFeedForward(dim, mlp)]) for _ in range(depth)],
+        )
+
+    def forward(self, x):
+        for attn, ff in self.layers:
+            x = attn(x) + x
+            x = ff(x) + x
+        return self.norm(x)
+
+
+class TorchAttentiveReduce(nn.Module):
+    def __init__(self, dim, heads=8):
+        super().__init__()
+        self.heads = heads
+        self.norm = nn.LayerNorm(dim)
+        self.norm_fc = nn.LayerNorm(dim)
+        self.to_kv = nn.Linear(dim, dim * 2, bias=False)
+        self.query = nn.Parameter(torch.randn(dim))
+
+    def forward(self, x):
+        out = self.norm(x)
+        b, l, dim = x.shape
+        dh = dim // self.heads
+        q = self.query.reshape(self.heads, 1, dh)[None]
+        k, v = self.to_kv(out).chunk(2, dim=-1)
+        k = k.reshape(b, l, self.heads, dh).transpose(1, 2)
+        v = v.reshape(b, l, self.heads, dh).transpose(1, 2)
+        attn = ((q @ k.transpose(-1, -2)) * dh**-0.5).softmax(-1)
+        out = (attn @ v).transpose(1, 2).reshape(b, dim)
+        return self.norm_fc(out)
+
+
+class TorchClassificationHead(nn.Module):
+    def __init__(self, dim, num_classes):
+        super().__init__()
+        self.reduce = TorchAttentiveReduce(dim)
+        self.linear = nn.Linear(dim, num_classes)
+
+    def forward(self, x):  # [B, L, E] -> [B, K]
+        return self.linear(self.reduce(x))
+
+
+# --------------------------------------------------------------------------
+# full torch MAE following the reference template forward (ssl/mim.py)
+# --------------------------------------------------------------------------
+class TorchMAE(nn.Module):
+    def __init__(self, plan, arch, inter_depth, head_specs):
+        super().__init__()
+        self.plan, self.arch, self.inter_depth = plan, arch, inter_depth
+        embed_specs = {}
+        for spec in plan.mod_specs.values():
+            embed_specs.setdefault(spec.name_embed, spec)
+        self.patch_embed = nn.ModuleDict({
+            name: TorchPatchify(s.band_groups, s.patch_size, arch.embed_dim)
+            for name, s in embed_specs.items()
+        })
+        self.embed_to_rec = nn.ModuleDict({
+            name: TorchPixelify(s.band_groups, s.patch_size, arch.decoder_dim)
+            for name, s in embed_specs.items()
+        })
+        self.mask_token = nn.ParameterDict({
+            name: nn.Parameter(torch.randn(
+                1, spec.len_bands, 1, 1, arch.decoder_dim))
+            for name, spec in plan.mod_specs.items()
+        })
+        enc_depth = arch.depth - inter_depth
+        self.encoder = nn.ModuleDict({
+            enc: TorchTransformer(arch.embed_dim, enc_depth, arch.heads,
+                                  arch.dim_head,
+                                  arch.embed_dim * arch.mlp_ratio)
+            for enc in plan.encoder_names
+        })
+        self.enc_to_dec = nn.ModuleDict({
+            enc: nn.Linear(arch.embed_dim, arch.decoder_dim)
+            for enc in plan.encoder_names
+        })
+        self.decoder = nn.ModuleDict({
+            enc: TorchTransformer(
+                arch.decoder_dim, arch.decoder_depth, arch.decoder_heads,
+                arch.decoder_dim_head,
+                # reference decoder-MLP-width quirk (mae.py:162)
+                arch.embed_dim * arch.decoder_mlp_ratio)
+            for enc in plan.encoder_names
+        })
+        if inter_depth:
+            self.encoder_inter = TorchTransformer(
+                arch.embed_dim, inter_depth, arch.heads, arch.dim_head,
+                arch.embed_dim * arch.mlp_ratio)
+        self.heads = nn.ModuleDict({
+            hs.name: TorchClassificationHead(arch.embed_dim, hs.num_classes)
+            for hs in head_specs
+        })
+        # deterministic encoding buffers, same builders as the JAX side
+        self._pos_enc, self._pos_dec = {}, {}
+        for name, spec in plan.mod_specs.items():
+            self._pos_enc[name] = torch.from_numpy(np.asarray(
+                build_pos_encoding(plan.grid_pos_enc, spec.grid,
+                                   arch.embed_dim, 8, fac=1.0),
+            ).astype(np.float32))
+            self._pos_dec[name] = torch.from_numpy(np.asarray(
+                build_pos_encoding(plan.grid_pos_enc, spec.grid,
+                                   arch.decoder_dim, 8),
+            ).astype(np.float32))
+
+    def _dates(self, batch, name, dim):
+        spec = self.plan.mod_specs[name]
+        enc = encode_dates(
+            jnp.asarray(batch[f"{name}_dates"]), jnp.asarray(batch["ref_date"]),
+            dim=dim, date_dim=8, fac_date_enc=1.0,
+            num_tokens=spec.tokens_per_date, len_bands=spec.len_bands,
+            dtype=jnp.float32,
+        )
+        return torch.from_numpy(np.asarray(enc))
+
+    def _group(self, x):
+        out = jax.tree.map(lambda t: jnp.asarray(t.detach().numpy()), x)
+        out = self.plan.group(out)
+        return {k: torch.from_numpy(np.asarray(v)) for k, v in out.items()}
+
+    def _ungroup(self, x):
+        out = jax.tree.map(lambda t: jnp.asarray(t.detach().numpy()), x)
+        out = self.plan.ungroup(out)
+        return {k: torch.from_numpy(np.asarray(v)) for k, v in out.items()}
+
+    def forward(self, batch, phase):
+        plan = self.plan
+        tokens = {}
+        for name, spec in plan.mod_specs.items():
+            t = self.patch_embed[spec.name_embed](
+                torch.from_numpy(np.asarray(batch[name])))
+            tokens[name] = (
+                t + self._pos_enc[name]
+                + self._dates(batch, name, self.arch.embed_dim)
+            )
+        streams = self._group(tokens)
+        enc = {
+            name: self.encoder[plan.streams[name].encoder](x)
+            for name, x in streams.items()
+        }
+        if self.inter_depth:
+            trunk = torch.cat([enc[n] for n in plan.streams], dim=1)
+            trunk = self.encoder_inter(trunk)
+            out, off = {}, 0
+            for n in plan.streams:
+                l = enc[n].shape[1]
+                out[n] = trunk[:, off : off + l]
+                off += l
+            enc = out
+
+        if phase != "pretrain":
+            x = self._ungroup(enc)
+            x_cat = torch.cat(
+                [x[n].flatten(1, 2) for n in plan.mods], dim=1)
+            return {name: head(x_cat) for name, head in self.heads.items()}
+
+        dec_in = {
+            name: self.enc_to_dec[plan.streams[name].encoder](x)
+            for name, x in enc.items()
+        }
+        full = self._ungroup(dec_in)
+        for name in plan.mod_specs:
+            full[name] = (
+                full[name] + self._pos_dec[name]
+                + self._dates(batch, name, self.arch.decoder_dim)
+            )
+        full = self._group(full)
+        decoded = {
+            name: self.decoder[plan.streams[name].encoder](x)
+            for name, x in full.items()
+        }
+        x_mod = self._ungroup(decoded)
+        rec = {}
+        for name, spec in plan.mod_specs.items():
+            rec[name] = self.embed_to_rec[spec.name_embed](
+                x_mod[name], spec.grid)
+        return rec
+
+
+NO_MASK = MaskConfig(mask_ratio=0.0, mask_scale=0.0, mask_mod=None,
+                     mask_bands=None, mask_dates=None, mask_loc=None)
+
+
+def test_full_mae_forward_parity(datasets_treesat):
+    cfg = ModelConfig(model_size="micro", fusion_mode="group", inter_depth=1)
+    model, plan = build_model(datasets_treesat, NO_MASK, cfg, dtype=jnp.float32)
+
+    torch.manual_seed(7)
+    tmodel = TorchMAE(plan, MAE_ARCHS["micro"], cfg.inter_depth,
+                      model.head_specs).eval()
+
+    batch_np = make_synthetic_batch(datasets_treesat.dataset, 2, seed=3)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+
+    key = jax.random.PRNGKey(0)
+    params_pre = jax.jit(
+        lambda b: model.init({"params": key, "mask": key}, b, "pretrain"),
+    )(batch)
+    params_probe = jax.jit(
+        lambda b: model.init({"params": key, "mask": key}, b, "probe"),
+    )(batch)
+    # union: pretrain lacks heads, probe lacks decoder/mask-token params
+    params = {"params": {**params_probe["params"], **params_pre["params"]}}
+    sd = {f"model.{k}": v.detach().numpy() for k, v in
+          tmodel.state_dict().items()}
+    ported = port_mae_state_dict(sd, plan, model.head_specs)
+    merged, _, missing = merge_into_template(ported, params)
+    assert not missing, f"unported leaves: {missing[:10]}"
+
+    with torch.no_grad():
+        ref_rec = tmodel(batch_np, "pretrain")
+        ref_logits = tmodel(batch_np, "probe")
+
+    rec, mask_pix, _ = model.apply(
+        merged, batch, "pretrain", rngs={"mask": key})
+    for name in plan.mod_specs:
+        got = np.asarray(rec[name], dtype=np.float32)
+        want = ref_rec[name].numpy()
+        np.testing.assert_allclose(got, want, atol=5e-4,
+                                   err_msg=f"pretrain rec[{name}]")
+        # masking disabled: nothing is masked
+        assert not np.asarray(mask_pix[name]).any()
+
+    logits = model.apply(merged, batch, "probe", rngs={"mask": key})
+    for name in logits:
+        np.testing.assert_allclose(
+            np.asarray(logits[name], dtype=np.float32),
+            ref_logits[name].numpy(), atol=5e-4,
+            err_msg=f"probe logits[{name}]")
