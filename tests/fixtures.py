@@ -148,8 +148,15 @@ def write_s2naip_fixture(root: Path, num_tiles: int = 2, seed: int = 0) -> None:
         df.to_csv(root / f"{split}.csv", index=False)
 
 
-def write_flair_fixture(root: Path, num_tiles: int = 1, seed: int = 0) -> None:
-    """FLAIR-HUB: per-modality npy tile mirrors + CSV date metadata."""
+def write_flair_fixture(
+    root: Path, num_tiles: int = 1, seed: int = 0, use_tif: bool = False,
+) -> None:
+    """FLAIR-HUB: per-modality tiles + CSV date metadata.
+
+    ``use_tif=True`` writes real multiband GeoTIFF stacks ([T*C, H, W] band
+    layout, the reference's on-disk format, dataset/flair.py) via imageio;
+    the default writes ``.npy`` mirrors (same array layout, faster IO).
+    """
     rng = np.random.default_rng(seed)
     mods = {
         "aerial": ("AERIAL_RGBI", (1, 4, 512, 512), np.uint8),
@@ -174,7 +181,17 @@ def write_flair_fixture(root: Path, num_tiles: int = 1, seed: int = 0) -> None:
                 arr = rng.integers(0, 10000, shape).astype(dtype)
             else:
                 arr = np.abs(rng.normal(1, 0.5, shape)).astype(dtype)
-            np.save(d / f"{domain}_{flair}_{area}_{pos}.npy", arr)
+            tile = d / f"{domain}_{flair}_{area}_{pos}"
+            if use_tif:
+                import imageio.v3 as iio
+
+                t, c, h, w = arr.shape
+                iio.imwrite(
+                    tile.with_suffix(".tif"),
+                    arr.reshape(t * c, h, w).transpose(1, 2, 0),
+                )
+            else:
+                np.save(tile.with_suffix(".npy"), arr)
 
     def s2_dates(n):
         return json.dumps({
