@@ -123,8 +123,11 @@ class ModelConfig:
     loss: str = "l1_norm"
     use_date_enc: bool = True
     use_ema: bool = True
-    # decoder head-split overrides (None = TPU-native arch default, 4 x 128;
-    # set 16/32 to match reference checkpoints ported with the torch split)
+    # attention head-split overrides (None = TPU-native arch defaults with
+    # 128-dim heads; set the reference torch splits — encoder 12 x 64 for
+    # medium, decoder 16 x 32 — when loading ported reference checkpoints)
+    encoder_heads: int | None = None
+    encoder_dim_head: int | None = None
     decoder_heads: int | None = None
     decoder_dim_head: int | None = None
     # baseline adapter options

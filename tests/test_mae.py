@@ -108,3 +108,22 @@ def test_probe_stops_encoder_gradients(datasets_treesat):
         if "heads" in path_str:
             continue
         assert norm == 0.0, f"non-head param {path_str} got gradient {norm}"
+
+
+def test_head_split_overrides(datasets_treesat):
+    """Port-compat head splits: same params, different attention grouping."""
+    import pytest as _pytest
+
+    from maestro_tpu.conf import MaskConfig, ModelConfig
+
+    cfg = ModelConfig(model_size="micro", fusion_mode="group", inter_depth=1,
+                      encoder_heads=1, encoder_dim_head=64,
+                      decoder_heads=1, decoder_dim_head=48)
+    model, _ = build_model(datasets_treesat, MaskConfig(), cfg)
+    assert model.arch.heads == 1 and model.arch.dim_head == 64
+    assert model.arch.decoder_heads == 1 and model.arch.decoder_dim_head == 48
+
+    bad = ModelConfig(model_size="micro", fusion_mode="group", inter_depth=1,
+                      decoder_heads=3)  # 3*24 != 2*24 inner width
+    with _pytest.raises(ValueError, match="inner width"):
+        build_model(datasets_treesat, MaskConfig(), bad)
