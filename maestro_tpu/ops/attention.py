@@ -316,7 +316,7 @@ def packed_single_block_attention(q, k, v, sm_scale):
     return _pk_impl(q, k, v, sm_scale)
 
 
-def _pk_impl(q, k, v, sm_scale):
+def _pk_impl_local(q, k, v, sm_scale):
     b, l, h, d = q.shape
     pad = (-l) % _BLOCK
     lp = l + pad
@@ -335,12 +335,7 @@ def _pk_impl(q, k, v, sm_scale):
     return out[:, :l].reshape(b, l, h, d)
 
 
-def _pk_fwd(q, k, v, sm_scale):
-    return _pk_impl(q, k, v, sm_scale), (q, k, v)
-
-
-def _pk_bwd(sm_scale, res, do):
-    q, k, v = res
+def _pk_bwd_local(do, q, k, v, sm_scale):
     b, l, h, d = q.shape
     pad = (-l) % _BLOCK
     lp = l + pad
@@ -359,6 +354,78 @@ def _pk_bwd(sm_scale, res, do):
     )(flat(q), flat(k), flat(v), flat(do))
     unpad = lambda x: x[:, :l].reshape(b, l, h, d)
     return unpad(dq), unpad(dk), unpad(dv)
+
+
+# ---- SPMD partitioning ----------------------------------------------------
+# pallas_call lowers to an opaque Mosaic custom call, which GSPMD cannot
+# partition by itself: under a jit with a sharded batch it would all-gather
+# the q/k/v activations onto every chip. Attention is independent across
+# (batch, head), so both grid axes shard freely; custom_partitioning
+# declares that and runs the kernel on the local shard. Sequence and
+# head_dim must stay unsharded (scores need all keys of a head).
+def _pk_sharding_rule(mesh, arg_shapes, shape):
+    from jax.sharding import NamedSharding, PartitionSpec
+
+    spec = arg_shapes[0].sharding.spec
+    b_axis = spec[0] if len(spec) > 0 else None
+    h_axis = spec[2] if len(spec) > 2 else None
+    return NamedSharding(mesh, PartitionSpec(b_axis, None, h_axis, None))
+
+
+def _spmd(n_out: int, n_args: int, local_fn):
+    """custom_partitioning wrapper: shard (B, H), replicate (L, D).
+
+    ``local_fn(*tensors, sm_scale)`` with sm_scale static (last positional).
+    """
+    from jax.experimental.custom_partitioning import custom_partitioning
+
+    def infer(sm_scale, mesh, arg_shapes, result_shape):
+        s = _pk_sharding_rule(mesh, arg_shapes, None)
+        return (s,) * n_out if n_out > 1 else s
+
+    def partition(sm_scale, mesh, arg_shapes, result_shape):
+        s = _pk_sharding_rule(mesh, arg_shapes, None)
+        out_s = (s,) * n_out if n_out > 1 else s
+        lower = lambda *tensors: local_fn(*tensors, sm_scale)
+        return mesh, lower, out_s, (s,) * n_args
+
+    operand = "b l h d"
+    rule = (
+        ", ".join([operand] * n_args) + " -> " + ", ".join([operand] * n_out)
+    )
+    wrapped = custom_partitioning(local_fn, static_argnums=(n_args,))
+    wrapped.def_partition(
+        infer_sharding_from_operands=infer, partition=partition,
+        # Shardy propagation rule; the partition callback still forces
+        # (L, D) to be replicated on the actual lowering
+        sharding_rule=rule,
+    )
+    return wrapped
+
+
+_SPMD_CACHE: dict[str, object] = {}
+
+
+def _get_spmd():
+    if not _SPMD_CACHE:
+        _SPMD_CACHE["fwd"] = _spmd(1, 3, _pk_impl_local)
+        _SPMD_CACHE["bwd"] = _spmd(3, 4, _pk_bwd_local)
+    return _SPMD_CACHE["fwd"], _SPMD_CACHE["bwd"]
+
+
+def _pk_impl(q, k, v, sm_scale):
+    fwd, _ = _get_spmd()
+    return fwd(q, k, v, sm_scale)
+
+
+def _pk_fwd(q, k, v, sm_scale):
+    return _pk_impl(q, k, v, sm_scale), (q, k, v)
+
+
+def _pk_bwd(sm_scale, res, do):
+    q, k, v = res
+    _, bwd = _get_spmd()
+    return bwd(do, q, k, v, sm_scale)
 
 
 packed_single_block_attention.defvjp(_pk_fwd, _pk_bwd)
