@@ -63,15 +63,16 @@ class EncoderBlock(nn.Module):
         )(y)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         b, l, _ = x.shape
-        q = q.reshape(b, l, self.heads, dh).transpose(0, 2, 1, 3)
-        k = k.reshape(b, l, self.heads, dh).transpose(0, 2, 1, 3)
-        v = v.reshape(b, l, self.heads, dh).transpose(0, 2, 1, 3)
-        logits = jnp.einsum(
-            "bhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32,
-        ) * dh**-0.5
-        attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
-        out = out.transpose(0, 2, 1, 3).reshape(b, l, self.dim)
+        shape = (b, l, self.heads, dh)
+
+        from maestro_tpu.ops.attention import mha_blhd
+
+        # head-packed dispatch: Pallas kernel for 128-1535-token sequences
+        # (e.g. FLAIR aerial grids under FM patch sizes), XLA einsum below
+        out = mha_blhd(
+            q.reshape(shape), k.reshape(shape), v.reshape(shape),
+            sm_scale=dh**-0.5,
+        ).reshape(b, l, self.dim)
         out = nn.Dense(self.dim, dtype=self.dtype, name="proj")(out)
         if self.layerscale:
             g1 = self.param(
