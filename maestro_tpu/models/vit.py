@@ -59,8 +59,16 @@ class FeedForward(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        from jax.ad_checkpoint import checkpoint_name
+
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
+        y = checkpoint_name(y, "mlp_ln")
         y = nn.Dense(self.hidden_dim, dtype=self.dtype, name="fc1")(y)
+        y = checkpoint_name(y, "mlp_fc1")
+        # under the "gelu" remat policy only the two named tensors are saved:
+        # the [.., hidden_dim] GELU output is recomputed from fc1's output in
+        # the backward pass instead of being written to HBM a second time
+        # (checkpoint_name is a no-op without remat)
         y = nn.gelu(y, approximate=False)
         return nn.Dense(self.dim, dtype=self.dtype, name="fc2")(y)
 
@@ -73,14 +81,24 @@ class Block(nn.Module):
     dim_head: int
     mlp_dim: int
     dtype: Dtype = jnp.bfloat16
-    remat_mlp: bool = False
+    remat_mlp: bool | str = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = x + Attention(
             self.dim, self.heads, self.dim_head, dtype=self.dtype, name="attn",
         )(x)
-        ff_cls = nn.remat(FeedForward) if self.remat_mlp else FeedForward
+        if self.remat_mlp == "gelu":
+            ff_cls = nn.remat(
+                FeedForward,
+                policy=jax.checkpoint_policies.save_only_these_names(
+                    "mlp_ln", "mlp_fc1",
+                ),
+            )
+        elif self.remat_mlp:
+            ff_cls = nn.remat(FeedForward)
+        else:
+            ff_cls = FeedForward
         return x + ff_cls(self.dim, self.mlp_dim, dtype=self.dtype, name="mlp")(x)
 
 
@@ -113,6 +131,10 @@ class Transformer(nn.Module):
                 Block,
                 policy=jax.checkpoint_policies.dots_with_no_batch_dims_saveable,
             )
+        elif self.remat == "gelu":
+            # MLP-scoped: save only the LN and fc1 outputs; the GELU output
+            # (the second [.., hidden_dim] HBM write) is recomputed in bwd
+            block_cls, remat_mlp = Block, "gelu"
         elif self.remat == "mlp":
             block_cls, remat_mlp = Block, True
         else:
