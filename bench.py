@@ -29,9 +29,10 @@ PEAK_FLOPS = {
 import os
 
 BATCH_SIZE = int(os.environ.get("BENCH_BS", 64))
-REMAT = os.environ.get("BENCH_REMAT", "false")  # false|full|dots|mlp
+REMAT = os.environ.get("BENCH_REMAT", "false")  # false|full|dots|mlp|gelu
 REMAT = False if REMAT.lower() == "false" else REMAT
 STEPS_PER_DISPATCH = int(os.environ.get("BENCH_SPD", 1))
+PHASE = os.environ.get("BENCH_PHASE", "pretrain")  # pretrain|probe|finetune
 WARMUP_STEPS = 3
 BENCH_STEPS = 10
 
@@ -81,6 +82,59 @@ def main() -> None:
     )(batch)
 
     opt = OptPretrainConfig(batch_size=BATCH_SIZE)
+    if PHASE != "pretrain":
+        # downstream phases: supervised step over the full (unmasked) token
+        # set incl. the 1880-token inter trunk and segmentation heads
+        from maestro_tpu.train import metrics as M
+        from maestro_tpu.train.steps import make_supervised_step
+
+        probe_params = jax.jit(
+            lambda b: model.init({"params": key, "mask": key}, b, PHASE),
+        )(batch)
+        params = {"params": {**probe_params["params"], **params["params"]}}
+        tx = make_optimizer(opt, PHASE, total_steps=1000, params=params)
+        state = TrainState.create(params, tx)
+        sup = make_supervised_step(model, PHASE, tx, donate=True)
+        metric_states = {
+            hs.name: M.metric_init(hs.type_target, hs.num_classes)
+            for hs in model.head_specs
+        }
+
+        def step(state, b, rng, _sup=sup):  # noqa: ANN001
+            new_state, _, logs = _sup(state, b, metric_states)
+            return new_state, {"loss_rec": logs["loss_pred"]}
+
+        jittable = sup
+        lowered = sup.lower(state, batches[0], metric_states).compile()
+        flops_per_step = lowered.cost_analysis().get("flops", 0.0)
+        for i in range(WARMUP_STEPS):
+            state, logs = step(state, batches[i % 2], key)
+        jax.block_until_ready(state.params)
+        t0 = time.perf_counter()
+        for i in range(BENCH_STEPS):
+            state, logs = step(state, batches[i % 2], key)
+        jax.block_until_ready(state.params)
+        dt = (time.perf_counter() - t0) / BENCH_STEPS
+        tokens_per_sample = sum(
+            s.seq_len * s.batch_factor for s in plan.streams.values())
+        peak = peak_flops_for(jax.devices()[0])
+        mfu = (flops_per_step / dt) / peak if flops_per_step else 0.0
+        print(json.dumps({
+            "metric": f"tokens_per_sec_per_chip_mae_vitb_{PHASE}_flair",
+            "value": round(tokens_per_sample * BATCH_SIZE / dt, 1),
+            "unit": "tokens/s/chip",
+            "vs_baseline": round(mfu / 0.45, 4) if mfu else 0.0,
+            "aux": {
+                "step_time_s": round(dt, 4), "phase": PHASE,
+                "samples_per_sec": round(BATCH_SIZE / dt, 2),
+                "mfu": round(mfu, 4), "flops_per_step": flops_per_step,
+                "batch_size": BATCH_SIZE,
+                "device": str(jax.devices()[0]),
+                "loss_pred": float(logs["loss_rec"]),
+            },
+        }))
+        return
+
     tx = make_optimizer(opt, "pretrain", total_steps=1000, params=params)
     state = TrainState.create(params, tx)
     step = make_pretrain_step(model, plan, tx, "l1_norm", donate=True)

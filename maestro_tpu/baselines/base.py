@@ -18,10 +18,10 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from maestro_tpu.conf.datasets import DatasetsConfig
-from maestro_tpu.models.heads import ClassificationHead, PixelifyHead
+from maestro_tpu.models.heads import ChunkedSegHead, ClassificationHead
 from maestro_tpu.models.mae import HeadSpec, build_head_specs
 from maestro_tpu.ops.posenc import encode_dates
-from maestro_tpu.ops.resize import resize_spatial, resize_token_grid
+from maestro_tpu.ops.resize import resize_spatial
 from maestro_tpu.specs.fusion import FusionPlan, build_fusion_plan
 
 Dtype = Any
@@ -72,9 +72,13 @@ class BaselineShell(nn.Module):
         heads = {}
         for hs in self.head_specs:
             if hs.type_target == "segment":
-                heads[hs.name] = PixelifyHead(
+                heads[hs.name] = ChunkedSegHead(
                     type_head=self.type_head, dim=self.embed_dim,
                     num_classes=hs.num_classes, patch_size=hs.pixel_patch,
+                    ref_grid=self.plan.mod_specs[self.ref_input].grid,
+                    mod_grids=tuple(
+                        self.plan.mod_specs[m].grid for m in self.plan.mods
+                    ),
                     dtype=self.dtype,
                 )
             else:
@@ -111,26 +115,28 @@ class BaselineShell(nn.Module):
             x[name] = x[name] + date
         return self.plan.group(x)
 
+    def _seg_logits(self, x: dict, name: str) -> jnp.ndarray:
+        """Checkpointed chunked segmentation path (see MaestroMAE._seg_logits):
+        the date-stacked ref-grid tensor is never materialized."""
+        return self.heads[name](tuple(x[m] for m in self.plan.mods))
+
     def compute_logits(self, feats: dict, phase: str, heads: dict) -> dict:
         x = self.plan.ungroup(feats)
-        x_ref = None
-        if self.ref_input is not None:
-            ref_grid = self.plan.mod_specs[self.ref_input].grid
-            x_ref = jnp.concatenate(
-                [
-                    resize_token_grid(x[m], ref_grid, "bilinear")
-                    for m in self.plan.mods
-                ],
-                axis=1,
-            )
         x_cat = jnp.concatenate(
             [x[m].reshape(x[m].shape[0], -1, x[m].shape[-1]) for m in self.plan.mods],
             axis=1,
         )
+        seg_fn = nn.remat(BaselineShell._seg_logits, static_argnums=(2,))
         logits = {}
         for hs in self.head_specs:
-            f = x_ref if hs.type_target == "segment" else x_cat
-            if phase == "probe":
-                f = jax.lax.stop_gradient(f)
-            logits[hs.name] = heads[hs.name](f)
+            if hs.type_target == "segment":
+                f = x
+                if phase == "probe":
+                    f = jax.tree.map(jax.lax.stop_gradient, f)
+                logits[hs.name] = seg_fn(self, f, hs.name)
+            else:
+                f = x_cat
+                if phase == "probe":
+                    f = jax.lax.stop_gradient(f)
+                logits[hs.name] = heads[hs.name](f)
         return logits

@@ -26,11 +26,11 @@ from maestro_tpu.conf.core import MaskConfig, ModelConfig
 from maestro_tpu.conf.dataset.base import DatasetConfig, RasterConfig
 from maestro_tpu.conf.datasets import DatasetsConfig
 from maestro_tpu.models.embed import PatchEmbed, Pixelify
-from maestro_tpu.models.heads import ClassificationHead, PixelifyHead
+from maestro_tpu.models.heads import ChunkedSegHead, ClassificationHead
 from maestro_tpu.models.vit import Transformer
 from maestro_tpu.ops.masking import shuffle_mask, structural_mask, unmask
 from maestro_tpu.ops.posenc import build_pos_encoding, encode_dates
-from maestro_tpu.ops.resize import resize_spatial, resize_token_grid
+from maestro_tpu.ops.resize import resize_spatial
 from maestro_tpu.specs.fusion import FusionPlan, build_fusion_plan
 
 Dtype = Any
@@ -229,9 +229,13 @@ class MaestroMAE(nn.Module):
         heads = {}
         for hs in self.head_specs:
             if hs.type_target == "segment":
-                heads[hs.name] = PixelifyHead(
+                heads[hs.name] = ChunkedSegHead(
                     type_head=self.type_head, dim=arch.embed_dim,
                     num_classes=hs.num_classes, patch_size=hs.pixel_patch,
+                    ref_grid=plan.mod_specs[self.ref_input].grid,
+                    mod_grids=tuple(
+                        plan.mod_specs[m].grid for m in plan.mods
+                    ),
                     dtype=self.dtype,
                 )
             else:
@@ -315,20 +319,19 @@ class MaestroMAE(nn.Module):
             x[name] = x[name] + pos + date
         return self.plan.group(x)
 
+    def _seg_logits(self, x: dict, name: str) -> jnp.ndarray:
+        """Segmentation logits via the chunked head (models/heads.py):
+        ref-grid resize + date-stack + reduce run per row chunk, so the
+        [B, sum(date_axis), ref_grid^2, E] tensor — several GB at FLAIR
+        scale, the term that made medium finetune exceed v5e HBM — is never
+        materialized.  The call is additionally under ``jax.checkpoint`` so
+        nothing from the head forward is saved for backward.
+        """
+        return self.heads[name](tuple(x[m] for m in self.plan.mods))
+
     def compute_logits(self, encoded: dict, phase: str) -> dict[str, jnp.ndarray]:
         """Downstream logits: per-target heads over (resized) token grids."""
         x = self.plan.ungroup(encoded)
-
-        x_ref = None
-        if self.ref_input is not None:
-            ref_grid = self.plan.mod_specs[self.ref_input].grid
-            x_ref = jnp.concatenate(
-                [
-                    resize_token_grid(x[name], ref_grid, "bilinear")
-                    for name in self.plan.mods
-                ],
-                axis=1,
-            )
 
         x_cat = jnp.concatenate(
             [
@@ -340,12 +343,19 @@ class MaestroMAE(nn.Module):
             axis=1,
         )
 
+        seg_fn = nn.remat(MaestroMAE._seg_logits, static_argnums=(2,))
         logits = {}
         for hs in self.head_specs:
-            feats = x_ref if hs.type_target == "segment" else x_cat
-            if phase == "probe":
-                feats = jax.lax.stop_gradient(feats)
-            logits[hs.name] = self.heads[hs.name](feats)
+            if hs.type_target == "segment":
+                feats = x
+                if phase == "probe":
+                    feats = jax.tree.map(jax.lax.stop_gradient, feats)
+                logits[hs.name] = seg_fn(self, feats, hs.name)
+            else:
+                feats = x_cat
+                if phase == "probe":
+                    feats = jax.lax.stop_gradient(feats)
+                logits[hs.name] = self.heads[hs.name](feats)
         return logits
 
     # ------------------------------------------------------------------

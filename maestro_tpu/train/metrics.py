@@ -31,12 +31,14 @@ def monolabel_init(num_classes: int) -> jnp.ndarray:
 
 def monolabel_update(
     cm: jnp.ndarray,
-    logits: jnp.ndarray,  # [N, C]
+    logits: jnp.ndarray | None,  # [N, C] (or None with precomputed preds)
     labels: jnp.ndarray,  # [N] int
     valid: jnp.ndarray,  # [N] bool
+    preds: jnp.ndarray | None = None,  # [N] int argmax, skips the logits
 ) -> jnp.ndarray:
     num_classes = cm.shape[0]
-    preds = jnp.argmax(logits, axis=-1)
+    if preds is None:
+        preds = jnp.argmax(logits, axis=-1)
     labels = jnp.clip(labels, 0, num_classes - 1)
     return cm.at[labels, preds].add(valid.astype(jnp.int32))
 
@@ -138,7 +140,10 @@ def metric_init(type_target: str, num_classes: int):
 def metric_update(type_target: str, state, aux: dict):
     if type_target == "multilabel_classif":
         return multilabel_update(state, aux["logits"], aux["labels"], aux["valid"])
-    return monolabel_update(state, aux["logits"], aux["labels"], aux["valid"])
+    return monolabel_update(
+        state, aux.get("logits"), aux["labels"], aux["valid"],
+        preds=aux.get("preds"),
+    )
 
 
 def metric_compute(type_target: str, state) -> dict[str, jnp.ndarray]:

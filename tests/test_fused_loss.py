@@ -124,3 +124,54 @@ def test_token_space_gradients_flow():
         for g in jax.tree_util.tree_leaves(grads["params"])
     )
     assert np.isfinite(gnorm) and gnorm > 0.0
+
+
+def test_reconstruction_loss_matches_torch_reference():
+    """Golden parity of the patch-group-norm masked loss vs torch semantics.
+
+    Reimplements the reference compute_loss_rec
+    (/root/reference/maestro/train/model.py:195-247) with torch ops: rearrange
+    the target to [B, D, L, p*p, C], normalize per (patch, band group), mask-
+    select, per-modality mean, weight by D * L. The maestro_tpu loss (and its
+    Pallas-fused variant) must agree to fp32 tolerance.
+    """
+    torch = pytest.importorskip("torch")
+
+    plan, targets, rec, masks = _setup(3)
+
+    total, weights = 0.0, 0.0
+    for name, spec in plan.mod_specs.items():
+        t = torch.from_numpy(np.asarray(targets[name]))
+        r = torch.from_numpy(np.asarray(rec[name]))
+        m = torch.from_numpy(np.asarray(masks[name]))
+        b, d, c, hh, ww = t.shape
+        p = spec.patch_size
+        g = hh // p
+
+        def patches(x):
+            x = x.reshape(b, d, c, g, p, g, p)
+            return x.permute(0, 1, 3, 5, 4, 6, 2).reshape(b, d, g * g, p * p, c)
+
+        tp, rp, mp = patches(t), patches(r), patches(m)
+        off, parts = 0, []
+        for chans in spec.norm_groups:
+            grp = tp[..., off : off + chans]
+            off += chans
+            mean = grp.mean(dim=(-2, -1), keepdim=True)
+            var = grp.var(dim=(-2, -1), keepdim=True, unbiased=False)
+            parts.append((grp - mean) / torch.sqrt(var + 1e-6))
+        tp = torch.cat(parts, dim=-1)
+
+        err = torch.abs(tp - rp)  # l1_norm
+        sel = err[mp > 0]
+        mod_loss = sel.mean() if sel.numel() else torch.tensor(0.0)
+        weight = spec.num_dates * spec.tokens_per_date
+        total = total + weight * float(mod_loss)
+        weights += weight
+    want = total / weights
+
+    got = float(reconstruction_loss(plan, targets, rec, masks, "l1_norm"))
+    got_fused = float(fused_reconstruction_loss(plan, targets, rec, masks,
+                                                "l1_norm"))
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+    np.testing.assert_allclose(got_fused, want, rtol=1e-5)
