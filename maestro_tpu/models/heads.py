@@ -86,13 +86,18 @@ class ChunkedSegHead(nn.Module):
         )
 
     def _chunk(self, carry, a_rows, xs):
-        """One ref-grid row chunk: resize-slice + concat + reduce + proj."""
+        """One ref-grid row chunk: resize-slice + concat + reduce + proj.
+
+        The column resize runs in-chunk (A[rows] @ X @ A_full^T) rather than
+        hoisted before the scan: hoisting saves redundant FLOPs but keeps
+        ~500 MB of column-resized grids live through the scan bwd, which
+        pushed bs32 finetune back over v5e HBM (measured).
+        """
         parts = []
         full_mats = [resize_matrix(g, self.ref_grid) for g in self.mod_grids]
         for a, x, g, a_full in zip(a_rows, xs, self.mod_grids, full_mats):
             b, dg, l, e = x.shape
             xg = x.reshape(b, dg, g, g, e)
-            # rows: A[r] @ X @ A_full^T over the two grid axes
             part = jnp.einsum(
                 "rg,bdghe,sh->bdrse", a.astype(x.dtype), xg,
                 a_full.astype(x.dtype),
