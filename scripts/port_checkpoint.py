@@ -70,11 +70,15 @@ def main() -> None:
     # reference torch head splits (vit-pytorch defaults, mae.py:345-360) —
     # attention math depends on the split even though param shapes do not
     ref_encoder_heads = {"tiny": 3, "small": 6, "medium": 12, "base": 12,
-                         "large": 16}[args.model_size]
-    overrides = {
-        "encoder_heads": ref_encoder_heads, "encoder_dim_head": 64,
-        "decoder_heads": 16, "decoder_dim_head": 32,
-    }
+                         "large": 16}.get(args.model_size)
+    overrides = (
+        {
+            "encoder_heads": ref_encoder_heads, "encoder_dim_head": 64,
+            "decoder_heads": 16, "decoder_dim_head": 32,
+        }
+        if ref_encoder_heads
+        else {}  # test-only sizes: no reference split to restore
+    )
     state = TrainState.create(merged, optax.sgd(0.0))
     path = ckpt.save_checkpoint(args.out, "pretrain", 0, state,
                                 extra={"source": args.ckpt, **overrides})
