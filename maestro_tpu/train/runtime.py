@@ -115,12 +115,11 @@ class Experiment:
             if not is_primary():
                 self._writer = _NullWriter()
                 return self._writer
-            try:
-                from tensorboardX import SummaryWriter
+            # pure-Python event writer (utils/tb.py): tensorboardX would
+            # import torch (~40 s of startup on a 1-core host)
+            from maestro_tpu.utils.tb import SummaryWriter
 
-                self._writer = SummaryWriter(str(self.workdir / "tb"))
-            except ImportError:
-                self._writer = _NullWriter()
+            self._writer = SummaryWriter(str(self.workdir / "tb"))
         return self._writer
 
     def _log_scalar(self, tag: str, value: float, step: int) -> None:
