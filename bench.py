@@ -33,6 +33,7 @@ REMAT = os.environ.get("BENCH_REMAT", "false")  # false|full|dots|mlp|gelu
 REMAT = False if REMAT.lower() == "false" else REMAT
 STEPS_PER_DISPATCH = int(os.environ.get("BENCH_SPD", 1))
 PHASE = os.environ.get("BENCH_PHASE", "pretrain")  # pretrain|probe|finetune
+DATASET = os.environ.get("BENCH_DATASET", "flair")  # flair|treesatai_ts|pastis_hd|s2_naip
 WARMUP_STEPS = 3
 BENCH_STEPS = 10
 
@@ -58,7 +59,7 @@ def main() -> None:
     from maestro_tpu.train.steps import make_pretrain_step
     from maestro_tpu.utils.testing import make_synthetic_batch
 
-    datasets = DatasetsConfig(name_dataset="flair")
+    datasets = DatasetsConfig(name_dataset=DATASET)
     model, plan = build_model(
         datasets, MaskConfig(),
         ModelConfig(model_size="medium", fusion_mode="group", inter_depth=3),
@@ -120,7 +121,7 @@ def main() -> None:
         peak = peak_flops_for(jax.devices()[0])
         mfu = (flops_per_step / dt) / peak if flops_per_step else 0.0
         print(json.dumps({
-            "metric": f"tokens_per_sec_per_chip_mae_vitb_{PHASE}_flair",
+            "metric": f"tokens_per_sec_per_chip_mae_vitb_{PHASE}_{DATASET}",
             "value": round(tokens_per_sample * BATCH_SIZE / dt, 1),
             "unit": "tokens/s/chip",
             "vs_baseline": round(mfu / 0.45, 4) if mfu else 0.0,
@@ -183,7 +184,7 @@ def main() -> None:
     mfu = (flops_per_step / dt) / peak if flops_per_step else 0.0
 
     print(json.dumps({
-        "metric": "tokens_per_sec_per_chip_mae_vitb_pretrain_flair",
+        "metric": f"tokens_per_sec_per_chip_mae_vitb_pretrain_{DATASET}",
         "value": round(tokens_per_sec, 1),
         "unit": "tokens/s/chip",
         "vs_baseline": round(mfu / 0.45, 4) if mfu else 0.0,
