@@ -122,3 +122,40 @@ def test_params_stay_sharded_after_update(setup):
 def test_make_mesh_insufficient_devices_raises():
     with pytest.raises(ValueError, match="needs 16 devices"):
         make_mesh(8, 2)
+
+
+def test_supervised_dp4_tp2_matches_single(setup):
+    """Finetune step (full streams + chunked seg head + heads) under dp x tp
+    equals the single-device step: covers the scan/remat segmentation path
+    and metric accumulators under GSPMD sharding."""
+    from maestro_tpu.train import metrics as M
+    from maestro_tpu.train.steps import make_supervised_step
+
+    model, plan, batch, params = setup
+    key = jax.random.PRNGKey(1)
+    sup_init = jax.jit(
+        lambda b: model.init({"params": key, "mask": key}, b, "finetune"),
+    )(batch)
+    full_params = {"params": {**sup_init["params"], **params["params"]}}
+    opt = OptPretrainConfig(batch_size=8, base_lr=1e-3)
+
+    def run(num_data, num_model):
+        mesh = make_mesh(num_data, num_model)
+        tx = make_optimizer(opt, "finetune", total_steps=10,
+                            params=full_params)
+        state = TrainState.create(shard_params(mesh, full_params), tx)
+        dbatch = shard_batch(mesh, batch)
+        step = make_supervised_step(model, "finetune", tx, donate=False)
+        ms = {hs.name: M.metric_init(hs.type_target, hs.num_classes)
+              for hs in model.head_specs}
+        state, ms, logs = step(state, dbatch, ms)
+        return state, ms, float(logs["loss_pred"])
+
+    s1, m1, l1 = run(1, 1)
+    s8, m8, l8 = run(4, 2)
+    np.testing.assert_allclose(l8, l1, rtol=1e-4)
+    _assert_trees_close(s8.params, s1.params)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        m8, m1,
+    )
