@@ -105,7 +105,6 @@ def main() -> None:
             new_state, _, logs = _sup(state, b, metric_states)
             return new_state, {"loss_rec": logs["loss_pred"]}
 
-        jittable = sup
         lowered = sup.lower(state, batches[0], metric_states).compile()
         flops_per_step = lowered.cost_analysis().get("flops", 0.0)
         for i in range(WARMUP_STEPS):

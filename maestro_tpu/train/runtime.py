@@ -387,6 +387,10 @@ class Experiment:
                 state, multi_step, train_step, loader, rng, steps_per_dispatch,
             )
         else:
+            # host-side step counter: reading state.step would block on the
+            # async dispatch every iteration, serializing the next batch's
+            # host->device transfer behind the previous step's compute
+            step_i = int(jax.device_get(state.step))
             for np_batch in loader:
                 batch = self._device_batch(np_batch)
                 if phase == "pretrain":
@@ -396,7 +400,7 @@ class Experiment:
                         state, batch, metric_states,
                     )
                 losses.append(logs)
-                step_i = int(state.step)
+                step_i += 1
                 if log_every > 0 and step_i % log_every == 0:
                     key = "loss_rec" if phase == "pretrain" else "loss_pred"
                     self._log_scalar(
@@ -448,19 +452,23 @@ class Experiment:
 
     def _run_eval_epoch(self, phase, state, eval_step, loader, rng):
         """Returns (metrics dict, raw metric states or None)."""
+        # device scalars are collected and fetched once after the loop:
+        # float()-ing them per step would block the async dispatch pipeline
         losses = []
         if phase == "pretrain":
             for i, np_batch in enumerate(loader):
                 batch = self._device_batch(np_batch)
                 logs = eval_step(state.params, batch, jax.random.fold_in(rng, i))
-                losses.append(float(logs["loss_rec"]))
+                losses.append(logs["loss_rec"])
+            losses = [float(l) for l in jax.device_get(losses)]
             return ({"loss_rec": float(np.mean(losses))} if losses else {}), None
 
         metric_states = init_metric_states(self.model.head_specs)
         for np_batch in loader:
             batch = self._device_batch(np_batch)
             metric_states, logs = eval_step(state, batch, metric_states)
-            losses.append(float(logs["loss_pred"]))
+            losses.append(logs["loss_pred"])
+        losses = [float(l) for l in jax.device_get(losses)]
         out: dict[str, Any] = compute_metrics(self.model.head_specs, metric_states)
         out["loss_pred"] = float(np.mean(losses)) if losses else 0.0
         return out, metric_states
