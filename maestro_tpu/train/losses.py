@@ -122,7 +122,14 @@ def prediction_losses(
             valid = y2 != hs.missing_val
             y_safe = jnp.clip(y2, 0, hs.num_classes - 1)
             lse = jax.scipy.special.logsumexp(lgc, axis=1)  # [B, H, W]
-            picked = jnp.take_along_axis(lgc, y_safe[:, None], axis=1)[:, 0]
+            # select-reduce over the class axis instead of take_along_axis:
+            # the per-pixel gather runs at ~1.5 GB/s on TPU (130 ms/step at
+            # FLAIR finetune scale) while this re-read of lgc fuses into the
+            # logsumexp pass; its VJP is a select, not a scatter.
+            cls = jnp.arange(hs.num_classes, dtype=jnp.int32)[None, :, None, None]
+            picked = jnp.sum(
+                jnp.where(y_safe[:, None] == cls, lgc, 0.0), axis=1,
+            )
             ce = (lse - picked).reshape(-1)
             valid = valid.reshape(-1)
             loss = _masked_mean(ce, valid, lg)
