@@ -29,6 +29,8 @@ from maestro_tpu.ops.resize import resize_token_grid
 Dtype = Any
 
 CROMA_ARCHS = {
+    # "micro" is a test-only size for fast CPU CI; not a CROMA release
+    "micro": (64, 2, 2),
     "base": (768, 12, 16),
     "large": (1024, 24, 16),
 }

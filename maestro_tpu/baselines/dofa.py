@@ -26,6 +26,8 @@ from maestro_tpu.conf.datasets import DatasetsConfig
 Dtype = Any
 
 DOFA_ARCHS = {
+    # "micro" is a test-only size for fast CPU CI; not a DOFA release
+    "micro": (64, 2, 2),
     "base": (768, 12, 12),
     "large": (1024, 24, 16),
 }

@@ -25,6 +25,9 @@ from maestro_tpu.conf.datasets import DatasetsConfig
 Dtype = Any
 
 SATMAE_ARCHS = {
+    # "micro" is a test-only size for fast CPU CI (dim must exceed the
+    # 3x128 reserved timestamp channels); not a SatMAE release
+    "micro": (448, 2, 8),
     "base": (768, 12, 12),
     "large": (1024, 24, 16),
 }

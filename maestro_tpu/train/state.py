@@ -30,15 +30,22 @@ class TrainState:
         )
 
 
+@jax.jit
+def _ema_tree(ema, params, momentum):
+    return jax.tree.map(
+        lambda e, p: momentum * e + (1.0 - momentum) * p, ema, params,
+    )
+
+
 def ema_update(state: TrainState, momentum: float) -> TrainState:
-    """Per-epoch EMA update (reference train/base.py:267-274)."""
+    """Per-epoch EMA update (reference train/base.py:267-274).
+
+    One fused jitted graph instead of eager per-leaf dispatch (hundreds of
+    tiny kernels on a real device; hundreds of trace+compile on CPU CI).
+    """
     if state.ema_params is None:
         return state
-    new_ema = jax.tree.map(
-        lambda e, p: momentum * e + (1.0 - momentum) * p,
-        state.ema_params,
-        state.params,
-    )
+    new_ema = _ema_tree(state.ema_params, state.params, momentum)
     return state.replace(ema_params=new_ema)
 
 

@@ -63,5 +63,8 @@ def opt_finetune() -> OptFinetuneConfig:
 # jitted train steps (micro-arch graphs still take 10-100 s each to compile);
 # caching them across runs cuts repeat suite time by an order of magnitude.
 jax.config.update("jax_compilation_cache_dir", "/tmp/maestro_tpu_jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# persist even sub-second compiles: the e2e/runtime tests dispatch hundreds of
+# small jitted graphs (eval steps, metric updates) whose ~40 ms compiles add
+# up to ~half a minute per run when excluded from the cache
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)

@@ -42,7 +42,7 @@ def _run(model_name: str, cfg: BaselineConfig, batch_size: int = 2):
 
 @pytest.mark.parametrize("fusion_mode", ["shared", "monotemp"])
 def test_dinov2(fusion_mode):
-    cfg = BaselineConfig(model="dinov2", model_size="small",
+    cfg = BaselineConfig(model="dinov2", model_size="micro",
                          fusion_mode=fusion_mode)
     logits = _run("dinov2", cfg)
     assert logits["treesat_mlc_thresh"].shape == (2, 15)
@@ -50,7 +50,7 @@ def test_dinov2(fusion_mode):
 
 
 def test_dofa():
-    cfg = BaselineConfig(model="dofa", model_size="base", fusion_mode="shared")
+    cfg = BaselineConfig(model="dofa", model_size="micro", fusion_mode="shared")
     logits = _run("dofa", cfg)
     assert logits["treesat_mlc_thresh"].shape == (2, 15)
     assert np.isfinite(np.asarray(logits["treesat_mlc_thresh"])).all()
@@ -58,7 +58,7 @@ def test_dofa():
 
 @pytest.mark.parametrize("fusion_mode", ["late-croma", "inter-croma"])
 def test_croma(fusion_mode):
-    cfg = BaselineConfig(model="croma", model_size="base",
+    cfg = BaselineConfig(model="croma", model_size="micro",
                          fusion_mode=fusion_mode)
     logits = _run("croma", cfg)
     assert logits["treesat_mlc_thresh"].shape == (2, 15)
@@ -66,7 +66,7 @@ def test_croma(fusion_mode):
 
 
 def test_satmae():
-    cfg = BaselineConfig(model="satmae", model_size="base", fusion_mode="mod")
+    cfg = BaselineConfig(model="satmae", model_size="micro", fusion_mode="mod")
     logits = _run("satmae", cfg)
     assert logits["treesat_mlc_thresh"].shape == (2, 15)
 

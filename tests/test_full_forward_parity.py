@@ -360,8 +360,9 @@ def test_full_mae_forward_parity(datasets_treesat):
         ref_rec = tmodel(batch_np, "pretrain")
         ref_logits = tmodel(batch_np, "probe")
 
-    rec, mask_pix, _ = model.apply(
-        merged, batch, "pretrain", rngs={"mask": key})
+    rec, mask_pix, _ = jax.jit(
+        lambda m, b: model.apply(m, b, "pretrain", rngs={"mask": key}),
+    )(merged, batch)
     for name in plan.mod_specs:
         got = np.asarray(rec[name], dtype=np.float32)
         want = ref_rec[name].numpy()
@@ -370,7 +371,9 @@ def test_full_mae_forward_parity(datasets_treesat):
         # masking disabled: nothing is masked
         assert not np.asarray(mask_pix[name]).any()
 
-    logits = model.apply(merged, batch, "probe", rngs={"mask": key})
+    logits = jax.jit(
+        lambda m, b: model.apply(m, b, "probe", rngs={"mask": key}),
+    )(merged, batch)
     for name in logits:
         np.testing.assert_allclose(
             np.asarray(logits[name], dtype=np.float32),

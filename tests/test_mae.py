@@ -19,8 +19,14 @@ def _init_and_run(datasets, model_cfg, phase, batch_size=2):
         for k, v in make_synthetic_batch(datasets.dataset, batch_size).items()
     }
     key = jax.random.PRNGKey(0)
-    params = model.init({"params": key, "mask": key}, batch, phase)
-    out = model.apply(params, batch, phase, rngs={"mask": key})
+    # jit (rather than eager flax dispatch): micro-model compiles are cheap,
+    # hit the persistent compile cache, and run ~20x faster on this 1-core CI
+    params = jax.jit(
+        lambda b: model.init({"params": key, "mask": key}, b, phase),
+    )(batch)
+    out = jax.jit(
+        lambda p, b: model.apply(p, b, phase, rngs={"mask": key}),
+    )(params, batch)
     return model, plan, batch, params, out
 
 
@@ -100,7 +106,7 @@ def test_probe_stops_encoder_gradients(datasets_treesat):
         logits = model.apply(p, batch, "probe")
         return (logits["treesat_mlc_thresh"] ** 2).mean()
 
-    grads = jax.grad(loss_fn)(params)
+    grads = jax.jit(jax.grad(loss_fn))(params)
     flat = jax.tree_util.tree_flatten_with_path(grads)[0]
     for path, g in flat:
         path_str = jax.tree_util.keystr(path)

@@ -13,18 +13,18 @@ def test_chunked_reduce_matches_unchunked(monkeypatch):
     head = PixelifyHead(type_head="attentive", dim=c, num_classes=7,
                         patch_size=4, dtype=jnp.float32)
     params = head.init(jax.random.PRNGKey(1), x)
-    ref = head.apply(params, x)
+    ref = jax.jit(head.apply)(params, x)
 
     # force chunking (fp32 input is ~40 KB; cap at 4 KB -> multiple slices)
     monkeypatch.setattr(PixelifyHead, "_CHUNK_BYTES", 4096)
     chunked_head = PixelifyHead(type_head="attentive", dim=c, num_classes=7,
                                 patch_size=4, dtype=jnp.float32)
-    out = chunked_head.apply(params, x)
+    out = jax.jit(chunked_head.apply)(params, x)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
 
     # gradients flow identically through the scanned reduce
-    g_ref = jax.grad(lambda p: jnp.sum(head.apply(p, x) ** 2))(params)
-    g_chk = jax.grad(lambda p: jnp.sum(chunked_head.apply(p, x) ** 2))(params)
+    g_ref = jax.jit(jax.grad(lambda p: jnp.sum(head.apply(p, x) ** 2)))(params)
+    g_chk = jax.jit(jax.grad(lambda p: jnp.sum(chunked_head.apply(p, x) ** 2)))(params)
     for (ka, a), (kb, bb) in zip(
         jax.tree_util.tree_flatten_with_path(g_ref)[0],
         jax.tree_util.tree_flatten_with_path(g_chk)[0],
@@ -75,8 +75,8 @@ def test_chunked_seg_head_matches_pixelify_path():
     x_ref = jnp.concatenate(
         [resize_token_grid(x, ref_grid, "bilinear") for x in xs], axis=1,
     )
-    want = ref_head.apply(params, x_ref)  # same param tree by construction
-    got = chunked.apply(params, xs)
+    want = jax.jit(ref_head.apply)(params, x_ref)  # same param tree by construction
+    got = jax.jit(chunked.apply)(params, xs)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
 
     # mean-pool variant
@@ -89,6 +89,6 @@ def test_chunked_seg_head_matches_pixelify_path():
     ref_m = PixelifyHead(type_head="linear", dim=c, num_classes=k,
                          patch_size=patch, dtype=jnp.float32)
     np.testing.assert_allclose(
-        np.asarray(chunked_m.apply(pm, xs)),
-        np.asarray(ref_m.apply(pm, x_ref)), atol=1e-4,
+        np.asarray(jax.jit(chunked_m.apply)(pm, xs)),
+        np.asarray(jax.jit(ref_m.apply)(pm, x_ref)), atol=1e-4,
     )
