@@ -28,7 +28,7 @@ PEAK_FLOPS = {
 
 import os
 
-BATCH_SIZE = int(os.environ.get("BENCH_BS", 64))
+BATCH_SIZE = int(os.environ.get("BENCH_BS", 48))
 REMAT = os.environ.get("BENCH_REMAT", "false")  # false|full|dots|mlp|gelu
 REMAT = False if REMAT.lower() == "false" else REMAT
 STEPS_PER_DISPATCH = int(os.environ.get("BENCH_SPD", 1))
