@@ -164,6 +164,8 @@ class TrainerConfig:
     # device mesh: data-parallel x model(tensor)-parallel; -1 = all remaining
     mesh_data: int = -1
     mesh_model: int = 1
+    # ZeRO-3-style weight/optimizer sharding over the data axis (parallel/mesh)
+    fsdp: bool = False
     # compute dtype for matmuls/activations; params and opt state stay fp32
     # (multi-host process count is discovered via jax.process_count())
     compute_dtype: str = "bfloat16"

@@ -1,4 +1,4 @@
-"""Device mesh + sharding rules (data parallel x tensor parallel).
+"""Device mesh + sharding rules (data x tensor parallel, optional FSDP).
 
 The reference delegates all parallelism to Lightning DDP over NCCL
 (/root/reference/maestro/conf/trainer.py:12-14).  TPU-native replacement:
@@ -7,6 +7,12 @@ sharded over "data", parameters are replicated over "data" and — when the
 model axis is >1 — tensor-sharded over "model" (attention heads / MLP hidden).
 All collectives (gradient psum from jit's partitioner, all-gathers for
 tensor-sharded matmuls) are inserted by XLA from these shardings.
+
+Beyond the reference, ``fsdp=True`` additionally shards every large
+parameter (and, by propagation, its AdamW moments) over the "data" axis —
+ZeRO-3 semantics expressed purely as NamedShardings: XLA all-gathers each
+weight where it is used and reduce-scatters its gradient, no wrapper class.
+Useful when optimizer state dominates HBM (e.g. large-model finetunes).
 
 The reference's ``find_unused_parameters`` DDP workaround has no equivalent
 here: frozen params are masked in the optimizer (train/optim.py).
@@ -78,14 +84,51 @@ def _param_spec(path: tuple, value, tp: bool) -> P:
     return P()
 
 
-def param_shardings(mesh: Mesh, params, tensor_parallel: bool | None = None):
+# parameters smaller than this stay replicated under fsdp: sharding tiny
+# tensors (norm scales, biases) buys nothing and forces sub-lane layouts
+FSDP_MIN_SIZE = 2**16
+
+
+def _with_fsdp(spec: P, value, num_data: int, min_size: int) -> P:
+    """Add a "data"-axis shard on the largest free dim (ZeRO-3 weights).
+
+    A dim already taken by TP is skipped; the dim must divide evenly so
+    shapes stay static.
+    """
+    if value.ndim < 2 or value.size < min_size:
+        return spec
+    dims = list(spec) + [None] * (value.ndim - len(spec))
+    free = [
+        (value.shape[i], i)
+        for i in range(value.ndim)
+        if dims[i] is None and value.shape[i] % num_data == 0
+    ]
+    if not free:
+        return spec
+    _, best = max(free)
+    dims[best] = DATA_AXIS
+    return P(*dims)
+
+
+def param_shardings(
+    mesh: Mesh,
+    params,
+    tensor_parallel: bool | None = None,
+    fsdp: bool = False,
+    fsdp_min_size: int = FSDP_MIN_SIZE,
+):
     """NamedSharding pytree for the params (TP iff the model axis is >1)."""
     if tensor_parallel is None:
         tensor_parallel = mesh.shape[MODEL_AXIS] > 1
-    return jax.tree_util.tree_map_with_path(
-        lambda path, v: NamedSharding(mesh, _param_spec(path, v, tensor_parallel)),
-        params,
-    )
+    num_data = mesh.shape[DATA_AXIS]
+
+    def one(path, v):
+        spec = _param_spec(path, v, tensor_parallel)
+        if fsdp and num_data > 1:
+            spec = _with_fsdp(spec, v, num_data, fsdp_min_size)
+        return NamedSharding(mesh, spec)
+
+    return jax.tree_util.tree_map_with_path(one, params)
 
 
 def batch_shardings(mesh: Mesh, batch):
@@ -100,8 +143,18 @@ def replicated(mesh: Mesh):
     return NamedSharding(mesh, P())
 
 
-def shard_params(mesh: Mesh, params, tensor_parallel: bool | None = None):
-    return jax.device_put(params, param_shardings(mesh, params, tensor_parallel))
+def shard_params(
+    mesh: Mesh,
+    params,
+    tensor_parallel: bool | None = None,
+    fsdp: bool = False,
+    fsdp_min_size: int = FSDP_MIN_SIZE,
+):
+    return jax.device_put(
+        params,
+        param_shardings(mesh, params, tensor_parallel, fsdp=fsdp,
+                        fsdp_min_size=fsdp_min_size),
+    )
 
 
 def shard_batch(mesh: Mesh, batch):

@@ -242,7 +242,7 @@ class Experiment:
         first = next(iter(train_loader))
         batch0 = self._device_batch(first)
         params = self.init_params(phase, batch0, seed)
-        params = shard_params(self.mesh, params)
+        params = shard_params(self.mesh, params, fsdp=cfg.trainer.fsdp)
 
         steps_per_epoch = max(len(train_loader) // opt.accumulate_grad_batches, 1)
         total_steps = steps_per_epoch * opt.epochs

@@ -47,12 +47,14 @@ def setup():
     return model, plan, batch, params
 
 
-def _run_steps(setup, num_data, num_model, n_steps=2):
+def _run_steps(setup, num_data, num_model, n_steps=2, fsdp=False):
     model, plan, batch, params = setup
     mesh = make_mesh(num_data, num_model)
     opt = OptPretrainConfig(batch_size=8, base_lr=1e-3)
     tx = make_optimizer(opt, "pretrain", total_steps=10, params=params)
-    sharded = shard_params(mesh, params)
+    # micro-arch kernels are all < FSDP_MIN_SIZE; lower the floor so the
+    # fsdp path is actually exercised at test scale
+    sharded = shard_params(mesh, params, fsdp=fsdp, fsdp_min_size=2**10)
     state = TrainState.create(sharded, tx)
     dbatch = shard_batch(mesh, batch)
     step = make_pretrain_step(model, plan, tx, donate=False)
@@ -117,6 +119,41 @@ def test_params_stay_sharded_after_update(setup):
         ):
             n_tp_sharded += 1
     assert n_tp_sharded > 0, "no parameter is tensor-sharded on the tp mesh"
+
+
+def test_fsdp_dp8_matches_dp1(setup, dp8):
+    """ZeRO-3 weight sharding over the data axis does not change the math."""
+    state8, losses8 = dp8
+    statef, lossesf = _run_steps(setup, 8, 1, fsdp=True)
+    np.testing.assert_allclose(lossesf, losses8, rtol=1e-4)
+    _assert_trees_close(statef.params, state8.params)
+
+
+def test_fsdp_shards_weights_and_moments(setup):
+    """Large kernels (and their AdamW moments) live sharded over "data"."""
+    from maestro_tpu.parallel.mesh import DATA_AXIS
+
+    state, _ = _run_steps(setup, 8, 1, n_steps=1, fsdp=True)
+
+    def data_sharded_leaves(tree):
+        n = 0
+        for _, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+            if not hasattr(leaf, "sharding"):
+                continue
+            spec = tuple(getattr(leaf.sharding, "spec", ()) or ())
+            if any(
+                e == DATA_AXIS or (isinstance(e, tuple) and DATA_AXIS in e)
+                for e in spec
+            ):
+                n += 1
+                shard = leaf.addressable_shards[0].data
+                assert shard.size < leaf.size, "leaf not actually partitioned"
+        return n
+
+    assert data_sharded_leaves(state.params) > 0, "no param is fsdp-sharded"
+    assert data_sharded_leaves(state.opt_state) > 0, (
+        "optimizer moments did not inherit the fsdp shardings"
+    )
 
 
 def test_make_mesh_insufficient_devices_raises():
