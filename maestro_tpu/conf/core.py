@@ -32,6 +32,10 @@ class RunConfig:
     reproducible: bool = True
     seed: int = 42
     logged_images_per_epoch: int = 5
+    # evaluate loaded weights on val/test without training (beyond the
+    # reference; e.g. validate a ported released checkpoint). Phases are
+    # still selected by opt_<phase>.epochs > 0
+    eval_only: bool = False
 
 
 @dataclass

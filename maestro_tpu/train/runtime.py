@@ -287,6 +287,33 @@ class Experiment:
 
         rng = jax.random.PRNGKey(seed + 1)
         result = PhaseResult(phase, 0, -1, None)
+
+        if cfg.run.eval_only:
+            # evaluate the (warm-started/ported) weights; no training
+            if val_loader is not None:
+                final_val, val_states = self._run_eval_epoch(
+                    phase, state, eval_step, val_loader, rng,
+                )
+                result.val_metrics = _flat_metrics(final_val)
+                if phase != "pretrain":
+                    self._log_confusion(phase, "val", 0, val_states)
+                log.info("%s eval-only val: %s", phase, result.val_metrics)
+            if test_loader is not None:
+                test_metrics, test_states = self._run_eval_epoch(
+                    phase, state, eval_step, test_loader, rng,
+                )
+                result.test_metrics = _flat_metrics(test_metrics)
+                if phase != "pretrain":
+                    self._log_confusion(phase, "test", 0, test_states)
+                log.info("%s eval-only test: %s", phase, result.test_metrics)
+            self._append_jsonl({
+                "phase": phase, "eval_only": True,
+                **{f"val/{k}": v for k, v in (result.val_metrics or {}).items()},
+                **{f"test/{k}": v for k, v in (result.test_metrics or {}).items()},
+            })
+            self.params = jax.tree.map(lambda x: x, state.params)
+            return result
+
         best_monitor, best_epoch, best_path, stale = -np.inf, -1, None, 0
         viz_batch = (
             next(iter(val_loader))

