@@ -19,6 +19,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 NUM_AP_BINS = 4096
 
@@ -26,18 +27,34 @@ NUM_AP_BINS = 4096
 # --------------------------------------------------------------------------
 # mono-label (classif / segment)
 # --------------------------------------------------------------------------
-def monolabel_init(num_classes: int) -> jnp.ndarray:
-    return jnp.zeros((num_classes, num_classes), dtype=jnp.int32)
+# The confusion matrix accumulates per-pixel counts over a full epoch: a
+# FLAIR-HUB train epoch is ~2e10 pixels, so a single int32 cell overflows
+# (the reference's torchmetrics state is int64; TPU jax has no native int64
+# without global x64).  Two int32 limbs keep counts exact to 2^51:
+# ``lo`` holds < 2^LO_BITS per cell, the excess rolls into ``hi``.
+LO_BITS = 20
+
+
+def monolabel_init(num_classes: int) -> dict[str, jnp.ndarray]:
+    z = jnp.zeros((num_classes, num_classes), dtype=jnp.int32)
+    return {"hi": z, "lo": z}
+
+
+def monolabel_cm(state: dict[str, jnp.ndarray]) -> np.ndarray:
+    """Materialize the exact int64 confusion matrix on the host."""
+    hi = np.asarray(state["hi"], dtype=np.int64)
+    lo = np.asarray(state["lo"], dtype=np.int64)
+    return (hi << LO_BITS) + lo
 
 
 def monolabel_update(
-    cm: jnp.ndarray,
+    state: dict[str, jnp.ndarray],
     logits: jnp.ndarray | None,  # [N, C] (or None with precomputed preds)
     labels: jnp.ndarray,  # [N] int
     valid: jnp.ndarray,  # [N] bool
     preds: jnp.ndarray | None = None,  # [N] int argmax, skips the logits
-) -> jnp.ndarray:
-    num_classes = cm.shape[0]
+) -> dict[str, jnp.ndarray]:
+    num_classes = state["lo"].shape[0]
     if preds is None:
         preds = jnp.argmax(logits, axis=-1)
     labels = jnp.clip(labels, 0, num_classes - 1)
@@ -47,6 +64,7 @@ def monolabel_update(
     # fp32 accumulation is exact for counts < 2^24, guaranteed by chunking.
     cls = jnp.arange(num_classes, dtype=jnp.int32)
     chunk = 1 << 23
+    lo = state["lo"]
     for off in range(0, labels.shape[0], chunk):
         la, pr, va = (x[off : off + chunk] for x in (labels, preds, valid))
         oh_t = ((la[:, None] == cls) & va[:, None]).astype(jnp.bfloat16)
@@ -55,12 +73,15 @@ def monolabel_update(
             oh_t, oh_p, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        cm = cm + upd.astype(jnp.int32)
-    return cm
+        lo = lo + upd.astype(jnp.int32)
+    # roll the excess into hi; lo stays < 2^LO_BITS (exact for any batch
+    # size: lo < 2^LO_BITS + N_pixels << 2^31 before normalization)
+    return {"hi": state["hi"] + (lo >> LO_BITS), "lo": lo & ((1 << LO_BITS) - 1)}
 
 
-def monolabel_compute(cm: jnp.ndarray) -> dict[str, jnp.ndarray]:
-    cm = cm.astype(jnp.float64)
+def monolabel_compute(state: dict[str, jnp.ndarray]) -> dict[str, jnp.ndarray]:
+    # host-side, exact int64 -> float64 (called once per epoch)
+    cm = monolabel_cm(state).astype(np.float64)
     tp = jnp.diag(cm)
     fp = cm.sum(axis=0) - tp
     fn = cm.sum(axis=1) - tp

@@ -34,6 +34,7 @@ from maestro_tpu.parallel.mesh import (
 )
 from maestro_tpu.specs.fusion import FusionPlan
 from maestro_tpu.train import checkpoint as ckpt
+from maestro_tpu.train import metrics
 from maestro_tpu.train.optim import make_optimizer, onecycle
 from maestro_tpu.train.state import TrainState, ema_momentum, ema_update
 from maestro_tpu.train.steps import (
@@ -186,7 +187,10 @@ class Experiment:
             return
         for hs in self.model.head_specs:
             st = metric_states[hs.name]
-            cm = np.asarray(st["cm"] if isinstance(st, dict) else st)
+            if isinstance(st, dict) and "hi" in st:  # mono-label two-limb CM
+                cm = metrics.monolabel_cm(st)
+            else:  # multilabel per-label 2x2
+                cm = np.asarray(st["cm"])
             dump_confusion_matrix(
                 cm,
                 self.workdir / "cm" / f"{phase}_{stage}_{hs.name}_epoch{epoch}.npy",

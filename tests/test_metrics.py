@@ -18,7 +18,7 @@ def test_monolabel_confusion_and_scores():
     valid = jnp.asarray([True, True, True, True])
     cm = M.monolabel_update(cm, logits, labels, valid)
     expected_cm = np.array([[1, 0, 0], [0, 1, 1], [1, 0, 0]])
-    np.testing.assert_array_equal(np.asarray(cm), expected_cm)
+    np.testing.assert_array_equal(M.monolabel_cm(cm), expected_cm)
 
     out = M.monolabel_compute(cm)
     assert float(out["overall_accuracy"]) == 0.5
@@ -34,7 +34,7 @@ def test_monolabel_ignores_invalid_rows():
     logits = jnp.asarray([[1.0, 0.0], [0.0, 1.0]])
     labels = jnp.asarray([0, -1])
     cm = M.monolabel_update(cm, logits, labels, jnp.asarray([True, False]))
-    assert int(np.asarray(cm).sum()) == 1
+    assert int(M.monolabel_cm(cm).sum()) == 1
 
 
 def test_monolabel_support_only_classes():
@@ -47,6 +47,24 @@ def test_monolabel_support_only_classes():
     out = M.monolabel_compute(cm)
     assert float(out["average_f1"]) == 1.0
     assert float(out["average_iou"]) == 1.0
+
+
+def test_monolabel_exact_beyond_int32():
+    """Epoch-scale pixel counts exceed int32 (FLAIR train epoch ~2e10 px);
+    the two-limb state must stay exact and roll lo into hi on update."""
+    st = M.monolabel_init(2)
+    st = {
+        "hi": st["hi"].at[0, 0].set(3000),  # 3000 * 2^20 > int32 max
+        "lo": st["lo"].at[0, 0].set((1 << M.LO_BITS) - 1),
+    }
+    logits = jnp.asarray([[5.0, 0.0]])
+    st = M.monolabel_update(st, logits, jnp.asarray([0]), jnp.ones(1, bool))
+    cm = M.monolabel_cm(st)
+    assert cm[0, 0] == 3000 * (1 << M.LO_BITS) + (1 << M.LO_BITS)
+    assert cm[0, 0] > np.iinfo(np.int32).max
+    assert int(np.asarray(st["lo"])[0, 0]) == 0  # rolled into hi
+    out = M.monolabel_compute(st)
+    assert float(out["overall_accuracy"]) == 1.0
 
 
 def test_multilabel_weighted_f1():
