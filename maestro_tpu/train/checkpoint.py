@@ -104,6 +104,29 @@ def load_weights(path: str | Path, params):
     return _unflatten(merged, params)
 
 
+def load_ema_weights(path: str | Path, params):
+    """EMA weights from a checkpoint, merged onto a params-shaped template.
+
+    Returns None when the checkpoint stores no EMA state (e.g. pretrain /
+    probe checkpoints, or use_ema=false runs).
+    """
+    with ocp.StandardCheckpointer() as ckptr:
+        saved = ckptr.restore(Path(path).absolute() / "state")
+    ema = saved.get("ema_params")
+    if ema is None:
+        return None
+    flat_saved = _flatten(ema)
+    flat_new = _flatten(params)
+    merged = {}
+    for key, val in flat_new.items():
+        sv = flat_saved.get(key)
+        if sv is not None and np.shape(sv) == np.shape(val):
+            merged[key] = jax.numpy.asarray(sv, dtype=val.dtype)
+        else:
+            merged[key] = val
+    return _unflatten(merged, params)
+
+
 def _flatten(tree) -> dict[tuple, Any]:
     flat, _ = jax.tree_util.tree_flatten_with_path(tree)
     return {

@@ -29,6 +29,7 @@ from maestro_tpu.parallel.mesh import (
     DATA_AXIS,
     batch_shardings,
     make_mesh,
+    param_shardings,
     shard_batch,
     shard_params,
 )
@@ -204,9 +205,17 @@ class Experiment:
     # ------------------------------------------------------------------
     def init_params(self, phase: str, batch: dict, seed: int):
         key = jax.random.PRNGKey(seed)
-        fresh = jax.jit(
-            lambda b: self.model.init({"params": key, "mask": key}, b, phase),
-        )(batch)
+
+        def init_fn(b):
+            return self.model.init({"params": key, "mask": key}, b, phase)
+
+        # initialize directly into the target shardings: with fsdp, a
+        # replicated init would peak at full-model memory per device before
+        # shard_params — defeating ZeRO exactly for the models that need it
+        shapes = jax.eval_shape(init_fn, batch)
+        shardings = param_shardings(self.mesh, shapes,
+                                    fsdp=self.cfg.trainer.fsdp)
+        fresh = jax.jit(init_fn, out_shardings=shardings)(batch)
         if self.params is not None:
             # carry weights forward between phases (strict=False merge)
             fresh = _merge_params(self.params, fresh)
@@ -243,10 +252,20 @@ class Experiment:
         monitor = getattr(opt, "monitor", None)
         patience = getattr(opt, "patience", None)
 
-        first = next(iter(train_loader))
+        # eval_only may legitimately run without a train split
+        src_loader = next(
+            (ld for ld in (train_loader, val_loader, test_loader)
+             if ld is not None),
+        )
+        first = next(iter(src_loader))
         batch0 = self._device_batch(first)
         params = self.init_params(phase, batch0, seed)
         params = shard_params(self.mesh, params, fsdp=cfg.trainer.fsdp)
+
+        rng = jax.random.PRNGKey(seed + 1)
+        if cfg.run.eval_only:
+            return self._eval_only_phase(phase, params, val_loader,
+                                         test_loader, rng)
 
         steps_per_epoch = max(len(train_loader) // opt.accumulate_grad_batches, 1)
         total_steps = steps_per_epoch * opt.epochs
@@ -289,35 +308,7 @@ class Experiment:
                 self.model, phase, use_ema=(phase == "finetune"),
             )
 
-        rng = jax.random.PRNGKey(seed + 1)
         result = PhaseResult(phase, 0, -1, None)
-
-        if cfg.run.eval_only:
-            # evaluate the (warm-started/ported) weights; no training
-            if val_loader is not None:
-                final_val, val_states = self._run_eval_epoch(
-                    phase, state, eval_step, val_loader, rng,
-                )
-                result.val_metrics = _flat_metrics(final_val)
-                if phase != "pretrain":
-                    self._log_confusion(phase, "val", 0, val_states)
-                log.info("%s eval-only val: %s", phase, result.val_metrics)
-            if test_loader is not None:
-                test_metrics, test_states = self._run_eval_epoch(
-                    phase, state, eval_step, test_loader, rng,
-                )
-                result.test_metrics = _flat_metrics(test_metrics)
-                if phase != "pretrain":
-                    self._log_confusion(phase, "test", 0, test_states)
-                log.info("%s eval-only test: %s", phase, result.test_metrics)
-            self._append_jsonl({
-                "phase": phase, "eval_only": True,
-                **{f"val/{k}": v for k, v in (result.val_metrics or {}).items()},
-                **{f"test/{k}": v for k, v in (result.test_metrics or {}).items()},
-            })
-            self.params = jax.tree.map(lambda x: x, state.params)
-            return result
-
         best_monitor, best_epoch, best_path, stale = -np.inf, -1, None, 0
         viz_batch = (
             next(iter(val_loader))
@@ -400,6 +391,57 @@ class Experiment:
             log.info("%s test: %s", phase, result.test_metrics)
 
         self.params = jax.tree.map(lambda x: x, state.params)
+        return result
+
+    # ------------------------------------------------------------------
+    def _eval_only_phase(
+        self, phase, params, val_loader, test_loader, rng,
+    ) -> PhaseResult:
+        """Score loaded weights on val/test without training (run.eval_only)."""
+        cfg = self.cfg
+        if phase == "pretrain":
+            eval_step = make_pretrain_eval_step(self.model, self.plan,
+                                                cfg.model.loss)
+        else:
+            eval_step = make_supervised_eval_step(
+                self.model, phase, use_ema=(phase == "finetune"),
+            )
+        # finetune evaluates the EMA weights when the source checkpoint has
+        # them (reference evaluates model_ema in finetune val/test)
+        ema = None
+        if phase == "finetune" and self._warm_start:
+            ema = ckpt.load_ema_weights(self._warm_start, params)
+            if ema is not None:
+                log.info("eval_only: using EMA weights from %s",
+                         self._warm_start)
+        state = TrainState(
+            step=jnp.zeros((), dtype=jnp.int32),
+            params=params, opt_state=None, ema_params=ema,
+        )
+
+        result = PhaseResult(phase, 0, -1, None)
+        if val_loader is not None:
+            final_val, val_states = self._run_eval_epoch(
+                phase, state, eval_step, val_loader, rng,
+            )
+            result.val_metrics = _flat_metrics(final_val)
+            if phase != "pretrain":
+                self._log_confusion(phase, "val", 0, val_states)
+            log.info("%s eval-only val: %s", phase, result.val_metrics)
+        if test_loader is not None:
+            test_metrics, test_states = self._run_eval_epoch(
+                phase, state, eval_step, test_loader, rng,
+            )
+            result.test_metrics = _flat_metrics(test_metrics)
+            if phase != "pretrain":
+                self._log_confusion(phase, "test", 0, test_states)
+            log.info("%s eval-only test: %s", phase, result.test_metrics)
+        self._append_jsonl({
+            "phase": phase, "eval_only": True,
+            **{f"val/{k}": v for k, v in (result.val_metrics or {}).items()},
+            **{f"test/{k}": v for k, v in (result.test_metrics or {}).items()},
+        })
+        self.params = params
         return result
 
     # ------------------------------------------------------------------
