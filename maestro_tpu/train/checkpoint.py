@@ -61,6 +61,14 @@ def find_latest_checkpoint(ckpt_dir: str | Path, phase: str) -> Path | None:
     return max(candidates)[1]
 
 
+def load_meta(path: str | Path) -> dict[str, Any]:
+    """The ``extra`` dict saved next to a checkpoint (empty if absent)."""
+    meta = Path(path) / "meta.json"
+    if not meta.exists():
+        return {}
+    return json.loads(meta.read_text())
+
+
 def restore_state(path: str | Path, state):
     """Full restore into an existing TrainState template (fit_* resume)."""
     template = {

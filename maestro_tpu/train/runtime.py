@@ -36,6 +36,7 @@ from maestro_tpu.parallel.mesh import (
 from maestro_tpu.specs.fusion import FusionPlan
 from maestro_tpu.train import checkpoint as ckpt
 from maestro_tpu.train import metrics
+from maestro_tpu.train import preempt
 from maestro_tpu.train.optim import make_optimizer, onecycle
 from maestro_tpu.train.state import TrainState, ema_momentum, ema_update
 from maestro_tpu.train.steps import (
@@ -285,10 +286,18 @@ class Experiment:
         state = TrainState.create(params, tx, use_ema=cfg.model.use_ema)
         self.params = None  # freed into state
 
+        start_epoch = 0
         if resume_path:
             state = ckpt.restore_state(resume_path, state)
-            log.info("resumed %s from %s (step=%d)", phase, resume_path,
-                     int(state.step))
+            meta = ckpt.load_meta(resume_path)
+            if "epoch" in meta:
+                done = int(meta["epoch"])
+                # a regular checkpoint marks a COMPLETED epoch -> continue at
+                # the next one; a preemption checkpoint is mid-epoch -> redo it
+                start_epoch = done if meta.get("interrupted") else done + 1
+            start_epoch = min(start_epoch, opt.epochs)
+            log.info("resumed %s from %s (step=%d, starting epoch %d)",
+                     phase, resume_path, int(state.step), start_epoch)
 
         donate = cfg.trainer.donate_state
         multi_step = None
@@ -316,7 +325,7 @@ class Experiment:
             else None
         )
 
-        for epoch in range(opt.epochs):
+        for epoch in range(start_epoch, opt.epochs):
             t0 = time.time()
             train_logs = self._run_train_epoch(
                 phase, state, train_step, train_loader, rng,
@@ -326,6 +335,17 @@ class Experiment:
             state = train_logs.pop("state")
             if state.ema_params is not None:
                 state = ema_update(state, ema_momentum(opt.epochs))
+
+            if preempt.stop_requested():
+                # graceful preemption: persist everything mid-epoch and stop;
+                # run.fit_name/fit_phase resumes by redoing this epoch
+                path = ckpt.save_checkpoint(
+                    self.workdir / "checkpoints", phase, epoch, state,
+                    extra={"epoch": epoch, "phase": phase,
+                           "interrupted": True},
+                )
+                self.params = jax.tree.map(lambda x: x, state.params)
+                raise preempt.Preempted(phase, str(path))
 
             val_logs, val_states = {}, None
             if val_loader is not None:
@@ -465,6 +485,8 @@ class Experiment:
             # host->device transfer behind the previous step's compute
             step_i = int(jax.device_get(state.step))
             for np_batch in loader:
+                if preempt.stop_requested():
+                    break
                 batch = self._device_batch(np_batch)
                 if phase == "pretrain":
                     state, logs = train_step(state, batch, rng)
@@ -497,6 +519,9 @@ class Experiment:
         losses: list[dict] = []
         pending: list[dict] = []
         for np_batch in loader:
+            if preempt.stop_requested():
+                pending = []
+                break
             pending.append(np_batch)
             if len(pending) == k:
                 stack = {
@@ -587,6 +612,7 @@ def run_experiment(
     from maestro_tpu.parallel.distributed import initialize_distributed
 
     initialize_distributed()  # no-op single-host; wires DCN rendezvous on pods
+    preempt.install_handlers()  # SIGTERM/SIGINT -> checkpoint + clean exit
     resolve_run_handles(cfg.run)
 
     workdir = Path(workdir or Path(cfg.run.exp_dir) / cfg.run.exp_name)
@@ -626,10 +652,17 @@ def run_experiment(
             if cfg.run.fit_ckpt_path and cfg.run.fit_phase == phase
             else None
         )
-        results[phase] = exp.fit_phase(
-            phase, opt, loaders["train"], loaders["val"], loaders["test"],
-            resume_path=resume,
-        )
+        try:
+            results[phase] = exp.fit_phase(
+                phase, opt, loaders["train"], loaders["val"], loaders["test"],
+                resume_path=resume,
+            )
+        except preempt.Preempted as p:
+            log.warning(
+                "%s — resume with run.fit_name=%s run.fit_phase=%s",
+                p, cfg.run.exp_name, phase,
+            )
+            break
     return results
 
 
