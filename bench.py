@@ -65,7 +65,8 @@ def main() -> None:
     datasets = DatasetsConfig(name_dataset=DATASET)
     model, plan = build_model(
         datasets, MaskConfig(),
-        ModelConfig(model_size=MODEL_SIZE, fusion_mode="group", inter_depth=3),
+        ModelConfig(model_size=MODEL_SIZE, fusion_mode="group", inter_depth=3,
+                    seg_chunk_rows=int(os.environ.get("BENCH_SEG_CHUNK", 2))),
         remat=REMAT,
     )
     # two distinct batches, alternated: the remote-execution layer memoizes

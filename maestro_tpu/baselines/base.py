@@ -66,6 +66,7 @@ class BaselineShell(nn.Module):
     add_date_enc: bool = True
     fac_date_enc: float = 1.0
     date_dim: int = 8
+    seg_chunk_rows: int = 2
     dtype: Dtype = jnp.bfloat16
 
     def make_heads(self) -> dict[str, nn.Module]:
@@ -79,6 +80,7 @@ class BaselineShell(nn.Module):
                     mod_grids=tuple(
                         self.plan.mod_specs[m].grid for m in self.plan.mods
                     ),
+                    chunk_rows=self.seg_chunk_rows,
                     dtype=self.dtype,
                 )
             else:

@@ -134,6 +134,9 @@ class ModelConfig:
     encoder_dim_head: int | None = None
     decoder_heads: int | None = None
     decoder_dim_head: int | None = None
+    # ref-grid rows per segmentation-head scan chunk (speed/HBM tradeoff:
+    # larger chunks mean fewer, bigger MXU ops but more live memory per chunk)
+    seg_chunk_rows: int = 2
     # baseline adapter options
     freeze: bool = False
     weight_source: str = "imagenat"
@@ -159,6 +162,7 @@ class BaselineConfig:
     add_date_enc: bool = True
     use_ema: bool = True
     version: str | None = None
+    seg_chunk_rows: int = 2  # see ModelConfig.seg_chunk_rows
 
 
 @dataclass

@@ -124,6 +124,7 @@ class MaestroMAE(nn.Module):
     fac_abs_enc: float = 1.0
     fac_date_enc: float = 1.0
     date_dim: int = 8
+    seg_chunk_rows: int = 2
     dtype: Dtype = jnp.bfloat16
     remat: Any = False  # False | True/"full" | "dots" | "mlp" (models/vit.py)
 
@@ -236,6 +237,7 @@ class MaestroMAE(nn.Module):
                     mod_grids=tuple(
                         plan.mod_specs[m].grid for m in plan.mods
                     ),
+                    chunk_rows=self.seg_chunk_rows,
                     dtype=self.dtype,
                 )
             else:
@@ -489,6 +491,7 @@ def build_model(
         ref_input=dataset.ref_input,
         fac_abs_enc=1.0,
         fac_date_enc=1.0 if model_cfg.use_date_enc else 0.0,
+        seg_chunk_rows=model_cfg.seg_chunk_rows,
         dtype=dtype,
         remat=remat,
     )
