@@ -172,6 +172,9 @@ class TrainerConfig:
     # device mesh: data-parallel x model(tensor)-parallel; -1 = all remaining
     mesh_data: int = -1
     mesh_model: int = 1
+    # pod slices (multi-slice training): outer pure-DP "replica" mesh axis
+    # whose gradient all-reduce is the only collective crossing DCN
+    mesh_replica: int = 1
     # ZeRO-3-style weight/optimizer sharding over the data axis (parallel/mesh)
     fsdp: bool = False
     # compute dtype for matmuls/activations; params and opt state stay fp32

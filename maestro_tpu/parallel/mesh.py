@@ -26,33 +26,80 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
 MODEL_AXIS = "model"
+REPLICA_AXIS = "replica"  # outer pure-DP axis across pod slices (DCN)
 
 
 def make_mesh(
     num_data: int = -1,
     num_model: int = 1,
+    num_replica: int = 1,
     devices=None,
 ) -> Mesh:
-    """Build a ("data", "model") mesh; num_data=-1 uses all remaining chips."""
+    """Build a ("data", "model") mesh; num_data=-1 uses all remaining chips.
+
+    ``num_replica > 1`` adds an outer "replica" axis for multi-slice
+    training: slices are connected over DCN (slow) while chips within a
+    slice ride ICI (fast), so only pure data parallelism — one gradient
+    all-reduce per step — crosses the slice boundary; tensor-parallel
+    all-gathers and FSDP weight gathers stay on the intra-slice axes.
+    On real multi-slice hardware the device grid is ordered so each
+    mesh row is one slice (via ``mesh_utils.create_hybrid_device_mesh``);
+    on virtual/CPU devices a plain reshape stands in.
+    """
     devices = np.asarray(devices if devices is not None else jax.devices())
     n = devices.size
     if num_data == -1:
-        if n % num_model:
-            msg = f"{n} devices not divisible by model axis {num_model}."
+        per_replica = n // num_replica
+        if n % num_replica or per_replica % num_model:
+            msg = (
+                f"{n} devices not divisible into {num_replica} replicas "
+                f"x model axis {num_model}."
+            )
             raise ValueError(msg)
-        num_data = n // num_model
-    if n < num_data * num_model:
+        num_data = per_replica // num_model
+    need = num_replica * num_data * num_model
+    if n < need:
         msg = (
-            f"mesh ({num_data} data x {num_model} model) needs "
-            f"{num_data * num_model} devices but only {n} are available "
+            f"mesh ({num_replica} replica x {num_data} data x {num_model} "
+            f"model) needs {need} devices but only {n} are available "
             f"({[str(d) for d in devices.ravel()]}). On a single-chip or "
             "CPU host, force virtual devices via "
             "XLA_FLAGS=--xla_force_host_platform_device_count=N and "
             'jax.config.update("jax_platforms", "cpu") before backend init.'
         )
         raise ValueError(msg)
-    devices = devices[: num_data * num_model].reshape(num_data, num_model)
-    return Mesh(devices, (DATA_AXIS, MODEL_AXIS))
+    if num_replica == 1:
+        devices = devices[:need].reshape(num_data, num_model)
+        return Mesh(devices, (DATA_AXIS, MODEL_AXIS))
+    flat = devices.ravel()[:need]
+    if len({getattr(d, "slice_index", 0) for d in flat}) == num_replica:
+        # real multi-slice topology: let JAX order the grid so the replica
+        # axis maps onto DCN and (data, model) stay within each slice
+        from jax.experimental import mesh_utils
+
+        grid = mesh_utils.create_hybrid_device_mesh(
+            (1, num_data, num_model),
+            (num_replica, 1, 1),
+            devices=flat,
+        ).reshape(num_replica, num_data, num_model)
+    else:
+        grid = flat.reshape(num_replica, num_data, num_model)
+    return Mesh(grid, (REPLICA_AXIS, DATA_AXIS, MODEL_AXIS))
+
+
+def batch_axes(mesh: Mesh):
+    """Mesh axes the batch dim is sharded over (replica-major when present)."""
+    if REPLICA_AXIS in mesh.axis_names:
+        return (REPLICA_AXIS, DATA_AXIS)
+    return (DATA_AXIS,)
+
+
+def num_batch_shards(mesh: Mesh) -> int:
+    """Total data-parallel ways (replica slices x intra-slice data axis)."""
+    n = mesh.shape[DATA_AXIS]
+    if REPLICA_AXIS in mesh.axis_names:
+        n *= mesh.shape[REPLICA_AXIS]
+    return n
 
 
 # --------------------------------------------------------------------------
@@ -132,9 +179,10 @@ def param_shardings(
 
 
 def batch_shardings(mesh: Mesh, batch):
-    """Shard every batch leaf over the data axis (leading dim)."""
+    """Shard every batch leaf over the data axes (leading dim)."""
+    axes = batch_axes(mesh)
     return jax.tree.map(
-        lambda v: NamedSharding(mesh, P(DATA_AXIS, *(None,) * (v.ndim - 1))),
+        lambda v: NamedSharding(mesh, P(axes, *(None,) * (v.ndim - 1))),
         batch,
     )
 

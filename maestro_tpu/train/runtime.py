@@ -26,7 +26,8 @@ from maestro_tpu.conf.datasets import DatasetsConfig
 from maestro_tpu.models.mae import MaestroMAE, build_model
 from maestro_tpu.parallel.distributed import is_primary, local_batch_slice
 from maestro_tpu.parallel.mesh import (
-    DATA_AXIS,
+    batch_axes,
+    num_batch_shards,
     batch_shardings,
     make_mesh,
     param_shardings,
@@ -105,7 +106,8 @@ class Experiment:
             self.model, self.plan = build_model(
                 datasets, cfg.mask, cfg.model, dtype=dtype, remat=cfg.trainer.remat,
             )
-        self.mesh = make_mesh(cfg.trainer.mesh_data, cfg.trainer.mesh_model)
+        self.mesh = make_mesh(cfg.trainer.mesh_data, cfg.trainer.mesh_model,
+                              cfg.trainer.mesh_replica)
         self.params = None  # lazily initialized per phase (heads appear on use)
         self._warm_start: str | None = None  # load_* weights-only path
         self._writer = None
@@ -272,7 +274,7 @@ class Experiment:
         total_steps = steps_per_epoch * opt.epochs
         # LR scaling counts data-parallel replicas only (reference scales by
         # num_nodes * num_devices, train/model.py:123-133)
-        num_replicas = self.mesh.shape[DATA_AXIS]
+        num_replicas = num_batch_shards(self.mesh)
         # frozen baseline backbones train heads only, like probing
         freeze_phase = (
             "probe" if (self.is_baseline and cfg.model.freeze and phase != "pretrain")
@@ -545,7 +547,7 @@ class Experiment:
         """Shard a [K, B, ...] stacked super-batch over the data axis (dim 1)."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        spec = P(None, DATA_AXIS, *(None,) * (v.ndim - 2))
+        spec = P(None, batch_axes(self.mesh), *(None,) * (v.ndim - 2))
         return jax.device_put(v, NamedSharding(self.mesh, spec))
 
     def _run_eval_epoch(self, phase, state, eval_step, loader, rng):
@@ -637,7 +639,7 @@ def run_experiment(
             continue  # baseline adapters only probe/finetune
         # opt.batch_size is per data-parallel shard (reference: per device);
         # each host loads its process-local slice of the global batch
-        global_batch = opt.batch_size * exp.mesh.shape[DATA_AXIS]
+        global_batch = opt.batch_size * num_batch_shards(exp.mesh)
         local_batch = local_batch_slice(global_batch)
         loaders = {}
         for stage in ("train", "val", "test"):

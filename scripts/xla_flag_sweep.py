@@ -1,0 +1,112 @@
+"""A/B TPU compiler options through the AOT compile API.
+
+Client-side XLA_FLAGS can't carry TPU-backend flags over the axon tunnel
+(the local CPU plugin rejects unknown flags fatally); ``Lowered.compile(
+compiler_options=...)`` ships options to the server-side compiler instead.
+
+Usage::
+
+    python scripts/xla_flag_sweep.py            # sweep the table below
+    python scripts/xla_flag_sweep.py key=value  # single custom option
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+
+BS = int(os.environ.get("BENCH_BS", 48))
+WARMUP, STEPS = 3, 10
+
+SWEEP: list[dict[str, str] | None] = [
+    None,  # baseline
+    {"xla_tpu_scoped_vmem_limit_kib": "65536"},
+    {"xla_tpu_scoped_vmem_limit_kib": "98304"},
+    {"xla_tpu_enable_dot_strength_reduction": "false"},
+]
+
+
+def build():
+    from maestro_tpu.conf import (
+        DatasetsConfig,
+        MaskConfig,
+        ModelConfig,
+        OptPretrainConfig,
+    )
+    from maestro_tpu.models.mae import build_model
+    from maestro_tpu.train.optim import make_optimizer
+    from maestro_tpu.train.state import TrainState
+    from maestro_tpu.train.steps import make_pretrain_step
+    from maestro_tpu.utils.testing import make_synthetic_batch
+
+    datasets = DatasetsConfig(name_dataset="flair")
+    model, plan = build_model(
+        datasets, MaskConfig(),
+        ModelConfig(model_size="medium", fusion_mode="group", inter_depth=3),
+        remat=False,
+    )
+    batches = [
+        {k: jax.device_put(jnp.asarray(v))
+         for k, v in make_synthetic_batch(datasets.dataset, BS, seed=s).items()}
+        for s in (0, 1)
+    ]
+    key = jax.random.PRNGKey(0)
+    params = jax.jit(
+        lambda b: model.init({"params": key, "mask": key}, b, "pretrain"),
+    )(batches[0])
+    opt = OptPretrainConfig(batch_size=BS)
+    tx = make_optimizer(opt, "pretrain", total_steps=1000, params=params)
+    state = TrainState.create(params, tx)
+    step = make_pretrain_step(model, plan, tx, "l1_norm", donate=True)
+    return step, state, batches, key
+
+
+def time_compiled(compiled, state, batches, key) -> float:
+    for i in range(WARMUP):
+        state, _ = compiled(state, batches[i % 2], key)
+    jax.block_until_ready(state.params)
+    t0 = time.perf_counter()
+    for i in range(STEPS):
+        state, _ = compiled(state, batches[i % 2], key)
+    jax.block_until_ready(state.params)
+    return (time.perf_counter() - t0) / STEPS
+
+
+def main() -> None:
+    sweep = SWEEP
+    if len(sys.argv) > 1:
+        kv = dict(a.split("=", 1) for a in sys.argv[1:])
+        sweep = [None, kv]
+    step, state, batches, key = build()
+    lowered = step.lower(state, batches[0], key)
+    # donate=True consumes device buffers; keep a host copy to rebuild the
+    # state fresh for each variant's timing loop
+    host_state = jax.device_get(state)
+
+    for opts in sweep:
+        label = opts or "baseline"
+        try:
+            compiled = (lowered.compile(compiler_options=opts)
+                        if opts else lowered.compile())
+        except Exception as e:  # noqa: BLE001
+            print(f"{label}: COMPILE FAIL: {type(e).__name__}: {e}")
+            continue
+        st = jax.tree.map(
+            lambda x: jax.device_put(x) if hasattr(x, "shape") else x,
+            host_state,
+        )
+        try:
+            dt = time_compiled(compiled, st, batches, key)
+            print(f"{label}: {dt * 1e3:.1f} ms/step")
+        except Exception as e:  # noqa: BLE001
+            print(f"{label}: RUN FAIL: {type(e).__name__}: {e}")
+
+
+if __name__ == "__main__":
+    main()

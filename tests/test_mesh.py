@@ -47,9 +47,10 @@ def setup():
     return model, plan, batch, params
 
 
-def _run_steps(setup, num_data, num_model, n_steps=2, fsdp=False):
+def _run_steps(setup, num_data, num_model, n_steps=2, fsdp=False,
+               num_replica=1):
     model, plan, batch, params = setup
-    mesh = make_mesh(num_data, num_model)
+    mesh = make_mesh(num_data, num_model, num_replica)
     opt = OptPretrainConfig(batch_size=8, base_lr=1e-3)
     tx = make_optimizer(opt, "pretrain", total_steps=10, params=params)
     # micro-arch kernels are all < FSDP_MIN_SIZE; lower the floor so the
@@ -196,3 +197,37 @@ def test_supervised_dp4_tp2_matches_single(setup):
         lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
         m8, m1,
     )
+
+
+def test_multislice_2x2x2_matches_dp8(setup, dp8):
+    """Multi-slice hybrid mesh (2 replica x 2 data x 2 model) == dp8.
+
+    The outer "replica" axis models pod slices over DCN: the batch shards
+    over (replica, data) jointly, params replicate across slices, and the
+    only cross-slice collective is the gradient all-reduce.  Beyond the
+    reference (single-node DDP, conf/trainer.py:12-14).
+    """
+    state8, losses8 = dp8
+    states, losses = _run_steps(setup, 2, 2, num_replica=2)
+    np.testing.assert_allclose(losses, losses8, rtol=1e-4)
+    _assert_trees_close(states.params, state8.params)
+
+
+def test_multislice_fsdp_shards_within_slice_only(setup, dp8):
+    """FSDP under a replica mesh: weights shard over the intra-slice "data"
+    axis only (ICI), never across slices (DCN), and the math is unchanged."""
+    from maestro_tpu.parallel.mesh import REPLICA_AXIS
+
+    state8, losses8 = dp8
+    statef, lossesf = _run_steps(setup, 4, 1, num_replica=2, fsdp=True)
+    np.testing.assert_allclose(lossesf, losses8, rtol=1e-4)
+    _assert_trees_close(statef.params, state8.params)
+    for _, leaf in jax.tree_util.tree_flatten_with_path(statef.params)[0]:
+        spec = tuple(getattr(leaf.sharding, "spec", ()) or ())
+        flat_axes = [
+            a for e in spec
+            for a in (e if isinstance(e, tuple) else (e,))
+        ]
+        assert REPLICA_AXIS not in flat_axes, (
+            f"param sharded across slices: {spec}"
+        )
