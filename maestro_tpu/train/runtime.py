@@ -23,7 +23,6 @@ import numpy as np
 
 from maestro_tpu.conf.core import ExperimentConfig, OptConfig, OptFinetuneConfig
 from maestro_tpu.conf.datasets import DatasetsConfig
-from maestro_tpu.models.mae import MaestroMAE, build_model
 from maestro_tpu.parallel.distributed import is_primary, local_batch_slice
 from maestro_tpu.parallel.mesh import (
     batch_axes,
@@ -78,34 +77,11 @@ class Experiment:
         self.workdir = Path(workdir)
         self.workdir.mkdir(parents=True, exist_ok=True)
 
-        dtype = jnp.bfloat16 if cfg.trainer.compute_dtype == "bfloat16" else jnp.float32
-        from maestro_tpu.baselines import BASELINE_MODELS
+        from maestro_tpu.models.factory import build_experiment_model
 
-        self.is_baseline = cfg.model.model in BASELINE_MODELS
-        if self.is_baseline:
-            from maestro_tpu.baselines import build_baseline
-            from maestro_tpu.conf.core import BaselineConfig
-
-            bcfg = BaselineConfig(
-                interpolate=cfg.model.interpolate,
-                fusion_mode=cfg.model.fusion_mode,
-                model=cfg.model.model,
-                model_size=cfg.model.model_size,
-                type_head=cfg.model.type_head,
-                freeze=cfg.model.freeze,
-                weight_source=cfg.model.weight_source,
-                pretrained_path=cfg.model.pretrained_path,
-                keep_norm=cfg.model.keep_norm,
-                add_date_enc=cfg.model.add_date_enc,
-                use_ema=cfg.model.use_ema,
-                version=cfg.model.version,
-            )
-            self.model = build_baseline(datasets, bcfg, dtype=dtype)
-            self.plan = self.model.plan
-        else:
-            self.model, self.plan = build_model(
-                datasets, cfg.mask, cfg.model, dtype=dtype, remat=cfg.trainer.remat,
-            )
+        self.model, self.plan, self.is_baseline = build_experiment_model(
+            datasets, cfg,
+        )
         self.mesh = make_mesh(cfg.trainer.mesh_data, cfg.trainer.mesh_model,
                               cfg.trainer.mesh_replica)
         self.params = None  # lazily initialized per phase (heads appear on use)

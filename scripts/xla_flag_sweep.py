@@ -67,6 +67,12 @@ def build():
     return step, state, batches, key
 
 
+def _free(tree) -> None:
+    for leaf in jax.tree.leaves(tree):
+        if hasattr(leaf, "delete") and not getattr(leaf, "is_deleted", lambda: True)():
+            leaf.delete()
+
+
 def time_compiled(compiled, state, batches, key) -> float:
     for i in range(WARMUP):
         state, _ = compiled(state, batches[i % 2], key)
@@ -75,7 +81,9 @@ def time_compiled(compiled, state, batches, key) -> float:
     for i in range(STEPS):
         state, _ = compiled(state, batches[i % 2], key)
     jax.block_until_ready(state.params)
-    return (time.perf_counter() - t0) / STEPS
+    dt = (time.perf_counter() - t0) / STEPS
+    _free(state)  # HBM: only one state copy may live across variants
+    return dt
 
 
 def main() -> None:
@@ -86,8 +94,10 @@ def main() -> None:
     step, state, batches, key = build()
     lowered = step.lower(state, batches[0], key)
     # donate=True consumes device buffers; keep a host copy to rebuild the
-    # state fresh for each variant's timing loop
+    # state fresh for each variant's timing loop, and free the device copy
+    # (two full medium train states do not fit v5e HBM alongside the step)
     host_state = jax.device_get(state)
+    _free(state)
 
     for opts in sweep:
         label = opts or "baseline"
