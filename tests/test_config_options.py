@@ -64,6 +64,7 @@ def test_cli_list_and_nested_overrides():
         "opt_pretrain.base_lr=0.001",
         "run.load_name=foo",
         "trainer.mesh_model=2",
+        "trainer.mesh_replica=2",
     ])
     ds = datasets.treesatai_ts
     assert list(ds.inputs) == ["s2", "s1_asc", "s1_des"]  # post_init re-ran
@@ -73,6 +74,7 @@ def test_cli_list_and_nested_overrides():
     assert cfg.opt_pretrain.base_lr == 0.001
     assert cfg.run.load_name == "foo"
     assert cfg.trainer.mesh_model == 2
+    assert cfg.trainer.mesh_replica == 2
 
 
 def test_cli_none_override():
