@@ -189,6 +189,9 @@ class TrainerConfig:
     donate_state: bool = True
     # steps fused per host dispatch via lax.scan (1 = one step per dispatch)
     steps_per_dispatch: int = 1
+    # non-blocking epoch checkpoints: device->host copy is synchronous,
+    # disk serialization runs in a background thread (train/checkpoint.py)
+    async_checkpoint: bool = True
 
 
 @dataclass

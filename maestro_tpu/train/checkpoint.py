@@ -32,17 +32,63 @@ def save_checkpoint(
 ) -> Path:
     path = Path(ckpt_dir).absolute() / f"{phase}-epoch={epoch}"
     with ocp.StandardCheckpointer() as ckptr:
-        payload = {
-            "params": state.params,
-            "opt_state": state.opt_state,
-            "step": state.step,
-        }
-        if state.ema_params is not None:
-            payload["ema_params"] = state.ema_params
-        ckptr.save(path / "state", payload, force=True)
+        ckptr.save(path / "state", _payload(state), force=True)
     if extra:
         (path / "meta.json").write_text(json.dumps(extra, default=str))
     return path
+
+
+def _payload(state) -> dict[str, Any]:
+    payload = {
+        "params": state.params,
+        "opt_state": state.opt_state,
+        "step": state.step,
+    }
+    if state.ema_params is not None:
+        payload["ema_params"] = state.ema_params
+    return payload
+
+
+class AsyncSaver:
+    """Non-blocking epoch checkpoints (orbax AsyncCheckpointer).
+
+    The reference's Lightning ModelCheckpoint serializes on the train loop's
+    critical path; at FLAIR scale a multi-GB state costs seconds per epoch.
+    ``save`` copies device arrays to host synchronously — safe with donated
+    train states, whose device buffers the next step overwrites — and
+    persists in a background thread.  orbax stages into a temp dir and
+    renames on commit, so ``find_latest_checkpoint`` never sees a partial
+    save.  Call ``wait`` before restoring a just-saved path (test-on-best,
+    preemption) and at phase end.
+    """
+
+    def __init__(self) -> None:
+        self._ckptr = ocp.AsyncCheckpointer(ocp.StandardCheckpointHandler())
+
+    def save(
+        self,
+        ckpt_dir: str | Path,
+        phase: str,
+        epoch: int,
+        state,
+        extra: dict[str, Any] | None = None,
+    ) -> Path:
+        path = Path(ckpt_dir).absolute() / f"{phase}-epoch={epoch}"
+        self._ckptr.save(
+            path / "state", args=ocp.args.StandardSave(_payload(state)),
+            force=True,
+        )
+        if extra:
+            path.mkdir(parents=True, exist_ok=True)
+            (path / "meta.json").write_text(json.dumps(extra, default=str))
+        return path
+
+    def wait(self) -> None:
+        self._ckptr.wait_until_finished()
+
+    def close(self) -> None:
+        self.wait()
+        self._ckptr.close()
 
 
 def find_latest_checkpoint(ckpt_dir: str | Path, phase: str) -> Path | None:

@@ -87,6 +87,24 @@ class Experiment:
         self.params = None  # lazily initialized per phase (heads appear on use)
         self._warm_start: str | None = None  # load_* weights-only path
         self._writer = None
+        self._saver = None  # lazy AsyncSaver (trainer.async_checkpoint)
+
+    # ------------------------------------------------------------------
+    def _save_ckpt(self, phase: str, epoch: int, state, extra: dict):
+        if self.cfg.trainer.async_checkpoint:
+            if self._saver is None:
+                self._saver = ckpt.AsyncSaver()
+            return self._saver.save(
+                self.workdir / "checkpoints", phase, epoch, state, extra=extra,
+            )
+        return ckpt.save_checkpoint(
+            self.workdir / "checkpoints", phase, epoch, state, extra=extra,
+        )
+
+    def _ckpt_barrier(self) -> None:
+        """Join in-flight async saves (before restore / phase handoff)."""
+        if self._saver is not None:
+            self._saver.wait()
 
     # ------------------------------------------------------------------
     @property
@@ -317,11 +335,12 @@ class Experiment:
             if preempt.stop_requested():
                 # graceful preemption: persist everything mid-epoch and stop;
                 # run.fit_name/fit_phase resumes by redoing this epoch
-                path = ckpt.save_checkpoint(
-                    self.workdir / "checkpoints", phase, epoch, state,
+                path = self._save_ckpt(
+                    phase, epoch, state,
                     extra={"epoch": epoch, "phase": phase,
                            "interrupted": True},
                 )
+                self._ckpt_barrier()  # durable before the process exits
                 self.params = jax.tree.map(lambda x: x, state.params)
                 raise preempt.Preempted(phase, str(path))
 
@@ -355,9 +374,8 @@ class Experiment:
 
             # checkpoint + monitor
             score = _lookup_monitor(val_logs, monitor) if monitor else None
-            path = ckpt.save_checkpoint(
-                self.workdir / "checkpoints", phase, epoch, state,
-                extra={"epoch": epoch, "phase": phase},
+            path = self._save_ckpt(
+                phase, epoch, state, extra={"epoch": epoch, "phase": phase},
             )
             if monitor is None or score is None or score > best_monitor:
                 best_monitor = score if score is not None else -np.inf
@@ -378,6 +396,7 @@ class Experiment:
             result.val_metrics = _flat_metrics(final_val)
 
         # test on best checkpoint
+        self._ckpt_barrier()  # epoch saves must be committed before restore
         if test_loader is not None and best_path is not None:
             state = ckpt.restore_state(best_path, state)
             test_metrics, test_states = self._run_eval_epoch(

@@ -66,3 +66,44 @@ def test_load_weights_strict_false(tmp_path):
     np.testing.assert_array_equal(
         np.asarray(merged["params"]["head"]["kernel"]), np.ones((8, 2)),
     )
+
+
+def test_async_saver_matches_sync(tmp_path):
+    """AsyncSaver.save + wait produces a checkpoint identical to the sync
+    path, discoverable by find_latest_checkpoint, with meta.json present."""
+    state, _ = _state()
+    state = state.replace(step=jnp.asarray(5, jnp.int32))
+
+    saver = ckpt.AsyncSaver()
+    try:
+        path = saver.save(tmp_path / "checkpoints", "pretrain", 2, state,
+                          extra={"phase": "pretrain", "epoch": 2})
+        saver.wait()
+    finally:
+        saver.close()
+    assert path.name == "pretrain-epoch=2"
+    assert ckpt.load_meta(path)["epoch"] == "2" or ckpt.load_meta(path)["epoch"] == 2
+    found = ckpt.find_latest_checkpoint(tmp_path, "pretrain")
+    assert found == path
+
+    fresh, _ = _state(seed=1)
+    restored = ckpt.restore_state(path, fresh)
+    assert int(restored.step) == 5
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a), np.asarray(b)),
+        restored.params, state.params,
+    )
+
+
+def test_async_saver_sequential_epochs(tmp_path):
+    """Back-to-back async saves (epoch cadence) all commit."""
+    state, _ = _state()
+    saver = ckpt.AsyncSaver()
+    try:
+        for epoch in range(3):
+            saver.save(tmp_path / "checkpoints", "probe", epoch, state)
+        saver.wait()
+    finally:
+        saver.close()
+    found = ckpt.find_latest_checkpoint(tmp_path, "probe")
+    assert found is not None and found.name == "probe-epoch=2"
