@@ -45,6 +45,13 @@ class GrainBatchLoader:
         self.shard_index = shard_index
         self.shard_count = shard_count
         self._epoch = 0
+        self.skip_batches = 0  # consumed by the next __iter__ (fast-forward)
+        self._auto_epoch = True
+
+    def set_epoch(self, epoch: int) -> None:
+        """Pin the shuffle epoch (deterministic across process restarts)."""
+        self._epoch = epoch
+        self._auto_epoch = False
 
     def __len__(self) -> int:
         n = len(self.dataset) // self.shard_count
@@ -56,7 +63,11 @@ class GrainBatchLoader:
             ds = ds[self.shard_index :: self.shard_count]
         if self.shuffle:
             ds = ds.shuffle(seed=self.seed + self._epoch)
-        self._epoch += 1
+        if self._auto_epoch:
+            self._epoch += 1
+        if self.skip_batches:
+            ds = ds[self.skip_batches * self.batch_size :]  # skip pre-decode
+            self.skip_batches = 0
         ds = ds.batch(self.batch_size, drop_remainder=self.drop_last)
         it = ds.to_iter_dataset()
         if self.num_workers > 1:

@@ -42,9 +42,19 @@ class EOBatchLoader:
         self.drop_last = drop_last
         self.num_workers = max(num_workers, 1)
         self.prefetch = prefetch
-        self.rng = np.random.default_rng(seed)
+        self.seed = seed
         self.shard_index = shard_index
         self.shard_count = shard_count
+        # per-epoch order is a pure function of (seed, epoch) so a restarted
+        # process reproduces it exactly (mid-epoch preemption resume); the
+        # runtime drives set_epoch, standalone use auto-increments per pass
+        self.epoch = 0
+        self.skip_batches = 0  # consumed by the next __iter__ (fast-forward)
+        self._auto_epoch = True
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+        self._auto_epoch = False
 
     def __len__(self) -> int:
         n = len(self.dataset) // self.shard_count
@@ -55,7 +65,8 @@ class EOBatchLoader:
     def _batches(self) -> list[np.ndarray]:
         order = np.arange(len(self.dataset))
         if self.shuffle:
-            self.rng.shuffle(order)  # same seed on every host -> same order
+            # same (seed, epoch) on every host -> same order
+            np.random.default_rng([self.seed, self.epoch]).shuffle(order)
         if self.shard_count > 1:
             order = order[self.shard_index :: self.shard_count]
         nb = len(self)
@@ -66,6 +77,11 @@ class EOBatchLoader:
 
     def __iter__(self):
         batches = self._batches()
+        if self.skip_batches:
+            batches = batches[self.skip_batches :]  # no decode for skipped
+            self.skip_batches = 0
+        if self._auto_epoch:
+            self.epoch += 1
         out: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 

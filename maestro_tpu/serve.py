@@ -62,7 +62,15 @@ def make_embed_fn(model) -> Callable:
 
     Token features are mean-pooled per modality after the shared trunk —
     the representation the probe head consumes (stop-gradient removed).
+    MAE models only: baseline adapters keep their upstream backbone API and
+    expose no shared trunk to pool.
     """
+    if not hasattr(model, "encode_streams"):
+        msg = (
+            f"embeddings need a MaestroMAE model (got {type(model).__name__}:"
+            " baseline adapters have no encode_streams trunk)"
+        )
+        raise TypeError(msg)
 
     @jax.jit
     def embed(params, batch):

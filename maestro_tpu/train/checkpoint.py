@@ -31,11 +31,32 @@ def save_checkpoint(
     extra: dict[str, Any] | None = None,
 ) -> Path:
     path = Path(ckpt_dir).absolute() / f"{phase}-epoch={epoch}"
-    with ocp.StandardCheckpointer() as ckptr:
-        ckptr.save(path / "state", _payload(state), force=True)
+    if (path / "state").exists():
+        _staged_overwrite(path, _payload(state))  # see AsyncSaver.save
+    else:
+        with ocp.StandardCheckpointer() as ckptr:
+            ckptr.save(path / "state", _payload(state), force=True)
     if extra:
         (path / "meta.json").write_text(json.dumps(extra, default=str))
     return path
+
+
+def _staged_overwrite(path: Path, payload: dict[str, Any]) -> None:
+    """Replace ``path/state`` leaving at most a rename-length durability gap.
+
+    The new state is fully committed to a sibling dir first; only then is
+    the old one removed and the sibling renamed into place.
+    """
+    import shutil
+
+    staging = path / "state.new"
+    if staging.exists():
+        shutil.rmtree(staging)
+    with ocp.StandardCheckpointer() as ckptr:
+        ckptr.save(staging, payload, force=True)
+    old = path / "state"
+    shutil.rmtree(old)
+    staging.rename(old)
 
 
 def _payload(state) -> dict[str, Any]:
@@ -74,10 +95,19 @@ class AsyncSaver:
         extra: dict[str, Any] | None = None,
     ) -> Path:
         path = Path(ckpt_dir).absolute() / f"{phase}-epoch={epoch}"
-        self._ckptr.save(
-            path / "state", args=ocp.args.StandardSave(_payload(state)),
-            force=True,
-        )
+        if (path / "state").exists():
+            # overwrite (e.g. completing a resumed interrupted epoch):
+            # force=True would delete the committed state synchronously and
+            # commit the replacement only when the background write finishes
+            # -- a hard kill in that window would leave NO checkpoint. Stage
+            # next to it and swap instead (window = one rename).
+            self.wait()
+            _staged_overwrite(path, _payload(state))
+        else:
+            self._ckptr.save(
+                path / "state", args=ocp.args.StandardSave(_payload(state)),
+                force=True,
+            )
         if extra:
             path.mkdir(parents=True, exist_ok=True)
             (path / "meta.json").write_text(json.dumps(extra, default=str))
@@ -134,12 +164,14 @@ def restore_state(path: str | Path, state):
     )
 
 
-def load_weights(path: str | Path, params):
+def load_weights(path: str | Path, params, unmatched_out: list | None = None):
     """strict=False weight warm start: copy matching leaves, keep the rest.
 
     Leaves match when both tree path and shape agree; everything else keeps
     its fresh initialization (the reference's load_from_checkpoint
-    strict=False behavior, run_experiment.py:66-74).
+    strict=False behavior, run_experiment.py:66-74).  Pass ``unmatched_out``
+    to collect the paths of leaves that kept their fresh init (strictness-
+    sensitive callers, e.g. serving export, should fail or warn on them).
     """
     with ocp.StandardCheckpointer() as ckptr:
         saved_params = ckptr.restore(
@@ -155,10 +187,13 @@ def load_weights(path: str | Path, params):
             merged[key] = jax.numpy.asarray(sv, dtype=val.dtype)
         else:
             merged[key] = val
+            if unmatched_out is not None:
+                unmatched_out.append("/".join(map(str, key)))
     return _unflatten(merged, params)
 
 
-def load_ema_weights(path: str | Path, params):
+def load_ema_weights(path: str | Path, params,
+                     unmatched_out: list | None = None):
     """EMA weights from a checkpoint, merged onto a params-shaped template.
 
     Returns None when the checkpoint stores no EMA state (e.g. pretrain /
@@ -178,6 +213,8 @@ def load_ema_weights(path: str | Path, params):
             merged[key] = jax.numpy.asarray(sv, dtype=val.dtype)
         else:
             merged[key] = val
+            if unmatched_out is not None:
+                unmatched_out.append("/".join(map(str, key)))
     return _unflatten(merged, params)
 
 

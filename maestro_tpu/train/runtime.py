@@ -106,6 +106,15 @@ class Experiment:
         if self._saver is not None:
             self._saver.wait()
 
+    def close(self) -> None:
+        """Release the async checkpointer thread and the TB writer."""
+        if self._saver is not None:
+            self._saver.close()
+            self._saver = None
+        if self._writer is not None:
+            self._writer.close()
+            self._writer = None
+
     # ------------------------------------------------------------------
     @property
     def writer(self):
@@ -282,18 +291,23 @@ class Experiment:
         state = TrainState.create(params, tx, use_ema=cfg.model.use_ema)
         self.params = None  # freed into state
 
-        start_epoch = 0
+        start_epoch, resume_skip = 0, 0
         if resume_path:
             state = ckpt.restore_state(resume_path, state)
             meta = ckpt.load_meta(resume_path)
             if "epoch" in meta:
                 done = int(meta["epoch"])
                 # a regular checkpoint marks a COMPLETED epoch -> continue at
-                # the next one; a preemption checkpoint is mid-epoch -> redo it
+                # the next one; a preemption checkpoint is mid-epoch -> finish
+                # that epoch, fast-forwarding past the batches already trained
+                # (per-epoch loader order is deterministic in (seed, epoch))
                 start_epoch = done if meta.get("interrupted") else done + 1
+                if meta.get("interrupted"):
+                    resume_skip = int(meta.get("batches_done", 0))
             start_epoch = min(start_epoch, opt.epochs)
-            log.info("resumed %s from %s (step=%d, starting epoch %d)",
-                     phase, resume_path, int(state.step), start_epoch)
+            log.info("resumed %s from %s (step=%d, starting epoch %d%s)",
+                     phase, resume_path, int(state.step), start_epoch,
+                     f", skipping {resume_skip} batches" if resume_skip else "")
 
         donate = cfg.trainer.donate_state
         multi_step = None
@@ -323,26 +337,44 @@ class Experiment:
 
         for epoch in range(start_epoch, opt.epochs):
             t0 = time.time()
+            if hasattr(train_loader, "set_epoch"):
+                train_loader.set_epoch(epoch)
+            epoch_skip = resume_skip if epoch == start_epoch else 0
+            if epoch_skip:
+                if not (hasattr(train_loader, "skip_batches")
+                        and hasattr(train_loader, "set_epoch")):
+                    # silently retraining batches_done batches would corrupt
+                    # the step count / LR schedule - fail loudly instead
+                    msg = (
+                        f"resuming an interrupted epoch needs a loader with "
+                        f"set_epoch/skip_batches, got {type(train_loader)}"
+                    )
+                    raise TypeError(msg)
+                train_loader.skip_batches = epoch_skip
             train_logs = self._run_train_epoch(
                 phase, state, train_step, train_loader, rng,
                 multi_step=multi_step,
                 steps_per_dispatch=cfg.trainer.steps_per_dispatch,
             )
             state = train_logs.pop("state")
-            if state.ema_params is not None:
-                state = ema_update(state, ema_momentum(opt.epochs))
+            batches_done = train_logs.pop("batches_done", 0) + epoch_skip
 
             if preempt.stop_requested():
-                # graceful preemption: persist everything mid-epoch and stop;
-                # run.fit_name/fit_phase resumes by redoing this epoch
+                # graceful preemption: persist mid-epoch (before the
+                # epoch-level EMA update - the epoch is incomplete) and stop;
+                # run.fit_name/fit_phase resumes this epoch at batches_done
                 path = self._save_ckpt(
                     phase, epoch, state,
                     extra={"epoch": epoch, "phase": phase,
-                           "interrupted": True},
+                           "interrupted": True,
+                           "batches_done": batches_done},
                 )
                 self._ckpt_barrier()  # durable before the process exits
                 self.params = jax.tree.map(lambda x: x, state.params)
                 raise preempt.Preempted(phase, str(path))
+
+            if state.ema_params is not None:
+                state = ema_update(state, ema_momentum(opt.epochs))
 
             val_logs, val_states = {}, None
             if val_loader is not None:
@@ -507,6 +539,9 @@ class Experiment:
                 compute_metrics(self.model.head_specs, metric_states),
             ))
         out["state"] = state
+        # one loss entry per trained batch: the preemption checkpoint records
+        # this so resume fast-forwards the loader past them
+        out["batches_done"] = len(losses)
         return out
 
     def _run_scanned_epoch(
@@ -660,6 +695,8 @@ def run_experiment(
                 p, cfg.run.exp_name, phase,
             )
             break
+        finally:
+            exp.close()  # saver thread + writer; re-created lazily per phase
     return results
 
 

@@ -79,11 +79,23 @@ def main(argv: list[str]) -> None:
     )
     if cfg.run.load_ckpt_path:
         # EMA weights when the checkpoint has them (finetune-eval semantics)
-        ema = ckpt.load_ema_weights(cfg.run.load_ckpt_path, params)
+        unmatched: list[str] = []
+        ema = ckpt.load_ema_weights(cfg.run.load_ckpt_path, params,
+                                    unmatched_out=unmatched)
         params = (
             ema if ema is not None
-            else ckpt.load_weights(cfg.run.load_ckpt_path, params)
+            else ckpt.load_weights(cfg.run.load_ckpt_path, params,
+                                   unmatched_out=unmatched)
         )
+        if unmatched:
+            # the template is zeros, so an unmatched leaf would silently
+            # serve a zero-weight layer - refuse to export
+            msg = (
+                f"checkpoint {cfg.run.load_ckpt_path} does not cover "
+                f"{len(unmatched)} model leaves (config/checkpoint "
+                f"mismatch?): {unmatched[:5]}{'...' if len(unmatched) > 5 else ''}"
+            )
+            raise SystemExit(msg)
 
     fn = (
         make_embed_fn(model)

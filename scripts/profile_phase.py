@@ -54,7 +54,8 @@ def build_step():
     datasets = DatasetsConfig(name_dataset=DATASET)
     model, plan = build_model(
         datasets, MaskConfig(),
-        ModelConfig(model_size="medium", fusion_mode="group", inter_depth=3,
+        ModelConfig(model_size=os.environ.get("BENCH_SIZE", "medium"),
+                    fusion_mode="group", inter_depth=3,
                     seg_chunk_rows=int(os.environ.get("BENCH_SEG_CHUNK", 2))),
         remat=REMAT,
     )

@@ -45,11 +45,19 @@ def build():
     from maestro_tpu.train.steps import make_pretrain_step
     from maestro_tpu.utils.testing import make_synthetic_batch
 
-    datasets = DatasetsConfig(name_dataset="flair")
+    # same BENCH_* knobs as bench.py so the sweep measures the model being
+    # benchmarked (default: the flagship medium/flair pretrain step)
+    remat = os.environ.get("BENCH_REMAT", "false")
+    remat = False if remat.lower() == "false" else remat
+    datasets = DatasetsConfig(
+        name_dataset=os.environ.get("BENCH_DATASET", "flair"),
+    )
     model, plan = build_model(
         datasets, MaskConfig(),
-        ModelConfig(model_size="medium", fusion_mode="group", inter_depth=3),
-        remat=False,
+        ModelConfig(model_size=os.environ.get("BENCH_SIZE", "medium"),
+                    fusion_mode="group", inter_depth=3,
+                    seg_chunk_rows=int(os.environ.get("BENCH_SEG_CHUNK", 2))),
+        remat=remat,
     )
     batches = [
         {k: jax.device_put(jnp.asarray(v))
@@ -116,6 +124,8 @@ def main() -> None:
             print(f"{label}: {dt * 1e3:.1f} ms/step")
         except Exception as e:  # noqa: BLE001
             print(f"{label}: RUN FAIL: {type(e).__name__}: {e}")
+        finally:
+            _free(st)  # a mid-loop failure must not leak HBM into the next variant
 
 
 if __name__ == "__main__":

@@ -107,3 +107,42 @@ def test_async_saver_sequential_epochs(tmp_path):
         saver.close()
     found = ckpt.find_latest_checkpoint(tmp_path, "probe")
     assert found is not None and found.name == "probe-epoch=2"
+
+
+def test_overwrite_save_is_staged(tmp_path):
+    """Saving onto an existing checkpoint path keeps the old state intact
+    until the replacement is fully committed (rename-length gap only)."""
+    state, _ = _state()
+    path = ckpt.save_checkpoint(tmp_path, "finetune", 0, state)
+    state2, _ = _state(seed=9)
+    path2 = ckpt.save_checkpoint(tmp_path, "finetune", 0, state2)
+    assert path2 == path
+    assert not (path / "state.new").exists()  # staging cleaned up
+    restored = ckpt.restore_state(path, _state(seed=1)[0])
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["params"]["dense"]["kernel"]),
+        np.asarray(state2.params["params"]["dense"]["kernel"]),
+    )
+
+    # same through the async saver
+    state3, _ = _state(seed=11)
+    saver = ckpt.AsyncSaver()
+    try:
+        saver.save(tmp_path, "finetune", 0, state3)
+        saver.wait()
+    finally:
+        saver.close()
+    restored = ckpt.restore_state(path, _state(seed=1)[0])
+    np.testing.assert_array_equal(
+        np.asarray(restored.params["params"]["dense"]["kernel"]),
+        np.asarray(state3.params["params"]["dense"]["kernel"]),
+    )
+
+
+def test_load_weights_reports_unmatched(tmp_path):
+    state, _ = _state(seed=0)
+    path = ckpt.save_checkpoint(tmp_path, "pretrain", 0, state)
+    fresh, _ = _state(seed=1, extra_leaf=True)  # head absent from the ckpt
+    unmatched = []
+    ckpt.load_weights(path, fresh.params, unmatched_out=unmatched)
+    assert unmatched == ["params/head/kernel"]

@@ -39,3 +39,24 @@ def test_grain_sharding(treesat_root, datasets_treesat):
                           shard_count=2, shuffle=False)
     assert len(l0) == 1
     assert len(list(l0)) == 1
+
+
+def test_grain_set_epoch_and_skip(treesat_root, datasets_treesat):
+    """set_epoch pins a reproducible order; skip_batches fast-forwards."""
+    ds = TreeSatAITSDataset(
+        datasets_treesat.dataset, treesat_root, "train", ssl_phase="finetune",
+        use_transform=False, random_dates=False, random_crop=False,
+    )
+    a = GrainBatchLoader(ds, batch_size=2, num_workers=0, seed=0)
+    b = GrainBatchLoader(ds, batch_size=2, num_workers=0, seed=0)
+    a.set_epoch(5)
+    b.set_epoch(5)
+    batches_a = list(a)
+    b.skip_batches = 1
+    skipped = list(b)
+    assert len(skipped) == len(batches_a) - 1
+    np.testing.assert_array_equal(
+        skipped[0]["treesat_mlc_thresh"], batches_a[1]["treesat_mlc_thresh"],
+    )
+    # skip consumed; epoch stays pinned -> same full order again
+    assert len(list(b)) == len(batches_a)

@@ -231,3 +231,26 @@ def test_multislice_fsdp_shards_within_slice_only(setup, dp8):
         assert REPLICA_AXIS not in flat_axes, (
             f"param sharded across slices: {spec}"
         )
+
+
+def test_checkpoint_elastic_across_mesh_shapes(setup, tmp_path):
+    """A checkpoint saved under dp8 restores into a dp4 x tp2 (and dp2)
+    template: orbax reshards on restore from the template's NamedShardings,
+    so resuming on a different slice size/topology (elastic world size,
+    beyond the reference) needs no conversion step."""
+    from maestro_tpu.train import checkpoint as ckpt
+
+    state8, _ = _run_steps(setup, 8, 1, n_steps=1)
+    path = ckpt.save_checkpoint(tmp_path / "ck", "pretrain", 0, state8)
+
+    model, plan, batch, params = setup
+    opt = OptPretrainConfig(batch_size=8, base_lr=1e-3)
+    for num_data, num_model in ((4, 2), (2, 1)):
+        mesh = make_mesh(num_data, num_model)
+        tx = make_optimizer(opt, "pretrain", total_steps=10, params=params)
+        template = TrainState.create(shard_params(mesh, params), tx)
+        restored = ckpt.restore_state(path, template)
+        _assert_trees_close(restored.params, state8.params)
+        # restored leaves carry the *new* mesh's shardings
+        leaf = jax.tree.leaves(restored.params)[0]
+        assert leaf.sharding.mesh.shape == mesh.shape

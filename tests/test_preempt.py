@@ -4,7 +4,9 @@ Beyond-reference robustness (SURVEY.md section 5.3: the reference has no
 failure recovery): TPU maintenance events deliver SIGTERM with a grace
 window; the runtime must persist full state and exit so run.fit_name /
 fit_phase can resume. Also covers the resume epoch offset: a completed-epoch
-checkpoint restarts at the NEXT epoch, an interrupted one redoes its epoch.
+checkpoint restarts at the NEXT epoch, an interrupted one finishes its epoch
+by fast-forwarding the loader past the batches already trained (the
+checkpoint meta records batches_done; per-epoch order is deterministic).
 """
 
 import os
@@ -78,7 +80,7 @@ def _train_loader(datasets, cfg):
     return loader
 
 
-def test_sigterm_checkpoints_then_resume_redoes_epoch(tmp_path, treesat):
+def test_sigterm_checkpoints_then_resume_finishes_epoch(tmp_path, treesat):
     preempt.reset()
     preempt.install_handlers()
     cfg = _cfg(tmp_path, epochs=2)
@@ -92,8 +94,9 @@ def test_sigterm_checkpoints_then_resume_redoes_epoch(tmp_path, treesat):
     meta = load_meta(path)
     assert meta.get("interrupted") is True
     assert int(meta["epoch"]) == 0
+    assert int(meta["batches_done"]) == 1  # one batch trained before SIGTERM
 
-    # resume: the interrupted epoch 0 is redone, then epoch 1 completes
+    # resume: epoch 0 finishes from batch 1, then epoch 1 completes
     preempt.reset()
     exp2 = Experiment(cfg, treesat, tmp_path / "work")
     res = exp2.fit_phase(
@@ -123,3 +126,42 @@ def test_resume_skips_completed_epochs(tmp_path, treesat):
     )
     assert res.epochs_run == 1
     assert [e["epoch"] for e in res.history] == [1]
+
+
+def test_loader_epoch_determinism_and_skip(treesat):
+    """Per-epoch order is a pure function of (seed, epoch); skip_batches
+    fast-forwards without changing the remaining order."""
+    from maestro_tpu.conf import DataConfig
+
+    def fresh():
+        # deterministic samples: augmentation rngs are stateful per call
+        # count, so only the *order* is reproducible under fast-forward
+        data_cfg = DataConfig(num_workers=1, use_transform=False,
+                              random_dates=False, random_crop=False)
+        _, loader = make_loader(
+            treesat, data_cfg, "train", "pretrain", 2, seed=0,
+        )
+        return loader
+
+    a, b = fresh(), fresh()
+    a.set_epoch(3)
+    b.set_epoch(3)
+    batches_a = [bt for bt in a]
+    batches_b = [bt for bt in b]
+    # labels are a pure function of the sample index (image streams also
+    # consume per-call binning rng, so they only match call-aligned runs)
+    for x, y in zip(batches_a, batches_b):
+        np.testing.assert_array_equal(
+            x["treesat_mlc_thresh"], y["treesat_mlc_thresh"],
+        )
+
+    c = fresh()
+    c.set_epoch(3)
+    c.skip_batches = 1
+    skipped = [bt for bt in c]
+    assert len(skipped) == len(batches_a) - 1
+    np.testing.assert_array_equal(
+        skipped[0]["treesat_mlc_thresh"], batches_a[1]["treesat_mlc_thresh"],
+    )
+    # skip consumed: the next pass over the same epoch is full again
+    assert len([bt for bt in c]) == len(batches_a)
