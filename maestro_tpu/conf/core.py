@@ -192,6 +192,9 @@ class TrainerConfig:
     # non-blocking epoch checkpoints: device->host copy is synchronous,
     # disk serialization runs in a background thread (train/checkpoint.py)
     async_checkpoint: bool = True
+    # drop optimizer updates whose gradients contain inf/nan instead of
+    # poisoning params/moments (optax.apply_if_finite; production guard)
+    skip_nonfinite: bool = False
 
 
 @dataclass

@@ -110,6 +110,7 @@ def make_optimizer(
     num_devices: int = 1,
     lw_decay: float | None = None,
     depth: int | None = None,
+    skip_nonfinite: bool = False,
 ) -> optax.GradientTransformation:
     schedule = onecycle(opt, total_steps, num_devices)
     adamw = optax.adamw(
@@ -128,6 +129,11 @@ def make_optimizer(
     )
     if opt.accumulate_grad_batches > 1:
         tx = optax.MultiSteps(tx, every_k_schedule=opt.accumulate_grad_batches)
+    if skip_nonfinite:
+        # production guard (beyond reference): a step whose grads contain
+        # inf/nan is dropped entirely instead of poisoning params/moments;
+        # training continues from the next batch (trainer.skip_nonfinite)
+        tx = optax.apply_if_finite(tx, max_consecutive_errors=100)
     return tx
 
 

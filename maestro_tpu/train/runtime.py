@@ -286,6 +286,7 @@ class Experiment:
         tx = make_optimizer(
             opt, freeze_phase, total_steps, params, num_replicas,
             lw_decay=getattr(opt, "lw_decay", None),
+            skip_nonfinite=cfg.trainer.skip_nonfinite,
         )
         lr_schedule = onecycle(opt, total_steps, num_replicas)
         state = TrainState.create(params, tx, use_ema=cfg.model.use_ema)

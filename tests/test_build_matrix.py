@@ -35,7 +35,9 @@ def test_build_and_trace_all_phases(name, fusion):
 
     phases = ["pretrain"]
     if ds.dataset.targets:  # S2-NAIP is pretrain-only
-        phases += ["probe", "finetune"]
+        # probe differs from finetune only by stop_gradient / trainability,
+        # not by shapes -- tracing finetune covers both topologies
+        phases += ["finetune"]
     for phase in phases:
         variables = jax.eval_shape(
             lambda b, _p=phase: model.init(

@@ -108,3 +108,25 @@ def test_ema_update_moves_toward_params(datasets_treesat):
     expect = m * leaf(params) + (1 - m) * leaf(state.params)
     np.testing.assert_allclose(np.asarray(leaf(new_state.ema_params)),
                                np.asarray(expect), rtol=1e-5)
+
+
+def test_skip_nonfinite_updates(datasets_treesat):
+    """trainer.skip_nonfinite drops inf/nan-gradient updates entirely."""
+    import optax
+
+    from maestro_tpu.conf import OptPretrainConfig
+    from maestro_tpu.train.optim import make_optimizer
+
+    params = {"params": {"encoder_s2": {"w": jnp.ones((4, 4))}}}
+    opt = OptPretrainConfig(batch_size=2, base_lr=1e-2)
+    tx = make_optimizer(opt, "pretrain", total_steps=10, params=params,
+                        skip_nonfinite=True)
+    state = tx.init(params)
+
+    bad = {"params": {"encoder_s2": {"w": jnp.full((4, 4), jnp.nan)}}}
+    upd, state = tx.update(bad, state, params)
+    assert float(jnp.abs(upd["params"]["encoder_s2"]["w"]).max()) == 0.0
+
+    good = {"params": {"encoder_s2": {"w": jnp.ones((4, 4))}}}
+    upd, state = tx.update(good, state, params)
+    assert float(jnp.abs(upd["params"]["encoder_s2"]["w"]).max()) > 0.0
