@@ -79,9 +79,20 @@ class EODataset:
         self.use_transform = use_transform
         self.random_dates = random_dates and stage == "train"
         self.random_crop = random_crop and stage == "train"
-        self.rng = np.random.default_rng(seed=seed)
+        self.seed = seed
+        self._epoch = 0
         self.base_length = 0
         self.repeats = getattr(dataset, "repeats", 1)
+
+    def set_epoch(self, epoch: int) -> None:
+        """Vary per-sample randomness across epochs (loaders call this)."""
+        self._epoch = int(epoch)
+
+    def _rng(self, idx: int) -> np.random.Generator:
+        """Per-(seed, epoch, index) rng: identical no matter which worker
+        thread/process serves the call or in what order — sample-level
+        determinism the reference gets from seed_everything(workers=True)."""
+        return np.random.default_rng([self.seed, self._epoch, idx])
 
     # -- subclass hooks -------------------------------------------------
     def build_meta(self, idx: int) -> dict[str, RasterMeta]:
@@ -93,11 +104,12 @@ class EODataset:
     # -- shared machinery ----------------------------------------------
     def read_sample(self, idx: int) -> dict[str, np.ndarray]:
         ds = self.dataset
+        rng = self._rng(idx)
         idx, start_gcd = sample_crop(
-            ds, idx, self.base_length, self.repeats, self.rng, self.random_crop,
+            ds, idx, self.base_length, self.repeats, rng, self.random_crop,
         )
         if start_gcd is None:
-            start_gcd = self.rng.integers(0, ds.size_gcd - ds.crop_gcd + 1, 2)
+            start_gcd = rng.integers(0, ds.size_gcd - ds.crop_gcd + 1, 2)
         meta = self.build_meta(idx)
 
         sample: dict[str, np.ndarray] = {}
@@ -107,10 +119,10 @@ class EODataset:
             y0, x0 = (start_gcd * fac) + m.shift
             y1, x1 = ((start_gcd + ds.crop_gcd) * fac) + m.shift
             num_t = len(m.dates)
-            t0 = int(self.rng.integers(0, num_t % mod.num_dates + 1))
+            t0 = int(rng.integers(0, num_t % mod.num_dates + 1))
             t1 = t0 + mod.num_dates * (num_t // mod.num_dates)
             arr, dates = read_raster(
-                mod, m, y0, y1, x0, x1, t0, t1, self.rng, self.random_dates,
+                mod, m, y0, y1, x0, x1, t0, t1, rng, self.random_dates,
             )
             sample[name_mod] = arr
             sample[f"{name_mod}_dates"] = dates
@@ -119,8 +131,10 @@ class EODataset:
     def __getitem__(self, idx: int) -> dict[str, np.ndarray]:
         sample = self.read_sample(idx)
         if self.use_transform:
+            # fold_in vs read_sample's stream: an independent draw sequence
             sample = apply_transforms(
-                sample, list(self.dataset.rasters), self.rng,
+                sample, list(self.dataset.rasters),
+                np.random.default_rng([self.seed, self._epoch, idx, 1]),
             )
         return sample
 

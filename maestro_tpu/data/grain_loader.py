@@ -58,6 +58,9 @@ class GrainBatchLoader:
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def __iter__(self):
+        if hasattr(self.dataset, "set_epoch"):
+            # workers pickle the dataset, so the epoch travels with it
+            self.dataset.set_epoch(self._epoch)
         ds = grain.MapDataset.source(self.dataset)
         if self.shard_count > 1:
             ds = ds[self.shard_index :: self.shard_count]

@@ -76,6 +76,8 @@ class EOBatchLoader:
         ]
 
     def __iter__(self):
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(self.epoch)  # per-(epoch, idx) sample rng
         batches = self._batches()
         if self.skip_batches:
             batches = batches[self.skip_batches :]  # no decode for skipped

@@ -131,3 +131,32 @@ def test_steps_per_dispatch_scanned_epoch(tmp_path, tmp_path_factory):
     results = run_experiment(cfg, datasets, tmp_path / "work")
     hist = results["pretrain"].history[0]
     assert np.isfinite(hist["train/loss_rec"])
+
+
+def test_same_seed_reproduces_losses(tmp_path, tmp_path_factory):
+    """Two runs with the same seed produce identical loss trajectories
+    (explicit PRNG keys + deterministic (seed, epoch) loader order; the
+    reference needs seed_everything(workers=True) for the same guarantee)."""
+    root = tmp_path_factory.mktemp("treesat_det")
+    write_treesat_fixture(root, num_tiles=4)
+    datasets = DatasetsConfig(root_dir=str(root), name_dataset="treesatai_ts")
+    datasets.treesatai_ts.rel_dir = ""
+
+    def run(tag):
+        cfg = ExperimentConfig(
+            run=RunConfig(exp_dir=str(tmp_path), exp_name=tag, seed=7,
+                          logged_images_per_epoch=0),
+            opt_pretrain=OptPretrainConfig(epochs=1, batch_size=2),
+            opt_probe=OptProbeConfig(epochs=0),
+            opt_finetune=OptFinetuneConfig(epochs=0),
+            data=DataConfig(num_workers=2),
+            model=ModelConfig(model_size="micro", fusion_mode="group",
+                              inter_depth=1),
+            trainer=TrainerConfig(mesh_data=1, compute_dtype="float32"),
+        )
+        results = run_experiment(cfg, datasets, tmp_path / tag)
+        return results["pretrain"].history[0]
+
+    a, b = run("det_a"), run("det_b")
+    assert a["train/loss_rec"] == b["train/loss_rec"]
+    assert a["val/loss_rec"] == b["val/loss_rec"]
