@@ -37,7 +37,8 @@ def interpolate_pos_embed(
     if src != grid:
         c = patch_pos.shape[-1]
         p = patch_pos.reshape(1, src, src, c)
-        p = jax.image.resize(p, (1, grid, grid, c), "bilinear")
+        p = jax.image.resize(p, (1, grid, grid, c), "bilinear",
+                             antialias=False)
         patch_pos = p.reshape(1, grid * grid, c)
     if has_cls:
         return jnp.concatenate([cls_pos, patch_pos], axis=1)

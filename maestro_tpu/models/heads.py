@@ -20,13 +20,17 @@ Dtype = Any
 
 
 def resize_matrix(in_grid: int, out_grid: int) -> jnp.ndarray:
-    """[out, in] matrix form of jax.image.resize 1-D linear interpolation.
+    """[out, in] matrix form of bilinear 1-D interpolation.
 
-    jax.image linear resize is separable and linear, so the 2-D grid resize
-    equals ``A @ X @ A.T`` — which lets a row slice of the output be computed
+    Linear resize is separable and linear, so the 2-D grid resize equals
+    ``A @ X @ A.T`` — which lets a row slice of the output be computed
     without materializing the full resized grid (A[rows] @ X @ A.T).
+    antialias=False matches the reference's F.interpolate (mim.py:362-366),
+    which applies no prefilter when a modality grid DOWNsamples to the ref
+    grid (e.g. PASTIS spot 10 -> s2 8).
     """
-    return jax_image.resize(jnp.eye(in_grid), (out_grid, in_grid), "linear")
+    return jax_image.resize(jnp.eye(in_grid), (out_grid, in_grid), "linear",
+                            antialias=False)
 
 
 class ClassificationHead(nn.Module):

@@ -29,6 +29,7 @@ import pytest
 
 torch = pytest.importorskip("torch")
 from torch import nn  # noqa: E402
+from torch.nn import functional as F  # noqa: E402, N812
 
 from maestro_tpu.conf import MaskConfig, ModelConfig  # noqa: E402
 from maestro_tpu.models.mae import MAE_ARCHS, build_model  # noqa: E402
@@ -190,11 +191,38 @@ class TorchClassificationHead(nn.Module):
         return self.linear(self.reduce(x))
 
 
+class TorchPixelifyHead(nn.Module):
+    """Reference PixelifyHead (head.py:96-130): per-ref-position attentive
+    date reduction + 1x1-conv pixelify with (p1 p2 c) feature order."""
+
+    def __init__(self, dim, out_chans, patch_size):
+        super().__init__()
+        self.patch_size = patch_size
+        self.reduce = TorchAttentiveReduce(dim)
+        self.conv = nn.Conv2d(dim, out_chans * patch_size**2, kernel_size=1)
+
+    def forward(self, x):  # [B, D, L, C] date-stacked ref-grid tokens
+        b, d, l, c = x.shape
+        y = x.permute(0, 2, 1, 3).reshape(b * l, d, c)
+        y = self.reduce(y).reshape(b, l, -1)
+        h = round(l**0.5)
+        y = y.permute(0, 2, 1).reshape(b, -1, h, h)
+        y = self.conv(y)
+        p = self.patch_size
+        k = y.shape[1] // (p * p)
+        y = (
+            y.reshape(b, p, p, k, h, h)
+            .permute(0, 3, 4, 1, 5, 2)
+            .reshape(b, k, h * p, h * p)
+        )
+        return y[:, None]  # [B, 1, K, H, W]
+
+
 # --------------------------------------------------------------------------
 # full torch MAE following the reference template forward (ssl/mim.py)
 # --------------------------------------------------------------------------
 class TorchMAE(nn.Module):
-    def __init__(self, plan, arch, inter_depth, head_specs):
+    def __init__(self, plan, arch, inter_depth, head_specs, ref_input=None):
         super().__init__()
         self.plan, self.arch, self.inter_depth = plan, arch, inter_depth
         embed_specs = {}
@@ -236,8 +264,15 @@ class TorchMAE(nn.Module):
             self.encoder_inter = TorchTransformer(
                 arch.embed_dim, inter_depth, arch.heads, arch.dim_head,
                 arch.embed_dim * arch.mlp_ratio)
+        self.head_specs = head_specs
+        self.ref_input = ref_input
         self.heads = nn.ModuleDict({
-            hs.name: TorchClassificationHead(arch.embed_dim, hs.num_classes)
+            hs.name: (
+                TorchPixelifyHead(arch.embed_dim, hs.num_classes,
+                                  hs.pixel_patch)
+                if hs.type_target == "segment"
+                else TorchClassificationHead(arch.embed_dim, hs.num_classes)
+            )
             for hs in head_specs
         })
         # deterministic encoding buffers, same builders as the JAX side
@@ -301,7 +336,27 @@ class TorchMAE(nn.Module):
             x = self._ungroup(enc)
             x_cat = torch.cat(
                 [x[n].flatten(1, 2) for n in plan.mods], dim=1)
-            return {name: head(x_cat) for name, head in self.heads.items()}
+            x_ref = None
+            if self.ref_input is not None:
+                # reference mim.py:351-375: per-mod bilinear resize to the
+                # ref grid, then date-stack across modalities
+                big = plan.mod_specs[self.ref_input].grid
+                parts = []
+                for n in plan.mods:
+                    t = x[n]
+                    b, d_, l_, c_ = t.shape
+                    h = plan.mod_specs[n].grid
+                    tt = t.reshape(b * d_, h, h, c_).permute(0, 3, 1, 2)
+                    tt = F.interpolate(tt, (big, big), mode="bilinear")
+                    tt = tt.permute(0, 2, 3, 1).reshape(b, d_, big * big, c_)
+                    parts.append(tt)
+                x_ref = torch.cat(parts, dim=1)
+            return {
+                hs.name: self.heads[hs.name](
+                    x_ref if hs.type_target == "segment" else x_cat,
+                )
+                for hs in self.head_specs
+            }
 
         dec_in = {
             name: self.enc_to_dec[plan.streams[name].encoder](x)
@@ -379,3 +434,41 @@ def test_full_mae_forward_parity(datasets_treesat):
             np.asarray(logits[name], dtype=np.float32),
             ref_logits[name].numpy(), atol=5e-4,
             err_msg=f"probe logits[{name}]")
+
+
+def test_full_segmentation_forward_parity(datasets_pastis):
+    """Finetune segmentation logits agree with the torch reference mirror:
+    bilinear token-grid resize to the ref grid (F.interpolate vs the
+    jax.image resize-matrix form), date-stack across modalities, attentive
+    per-position reduction, and (p1 p2 c) pixelify — the whole composition
+    the ChunkedSegHead scan computes chunk-by-chunk."""
+    cfg = ModelConfig(model_size="micro", fusion_mode="group", inter_depth=1)
+    model, plan = build_model(datasets_pastis, NO_MASK, cfg, dtype=jnp.float32)
+
+    torch.manual_seed(11)
+    tmodel = TorchMAE(plan, MAE_ARCHS["micro"], cfg.inter_depth,
+                      model.head_specs,
+                      ref_input=datasets_pastis.dataset.ref_input).eval()
+
+    batch_np = make_synthetic_batch(datasets_pastis.dataset, 2, seed=5)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    key = jax.random.PRNGKey(0)
+    params = jax.jit(
+        lambda b: model.init({"params": key, "mask": key}, b, "finetune"),
+    )(batch)
+    sd = {f"model.{k}": v.detach().numpy()
+          for k, v in tmodel.state_dict().items()}
+    ported = port_mae_state_dict(sd, plan, model.head_specs)
+    merged, _, missing = merge_into_template(ported, params)
+    assert not missing, f"unported leaves: {missing[:10]}"
+
+    with torch.no_grad():
+        ref_logits = tmodel(batch_np, "finetune")
+    logits = jax.jit(
+        lambda m, b: model.apply(m, b, "finetune", rngs={"mask": key}),
+    )(merged, batch)
+    for hs in model.head_specs:
+        np.testing.assert_allclose(
+            np.asarray(logits[hs.name], dtype=np.float32),
+            ref_logits[hs.name].numpy(), atol=5e-4,
+            err_msg=f"finetune logits[{hs.name}] ({hs.type_target})")
