@@ -21,14 +21,19 @@ from flax import linen as nn
 Dtype = Any
 
 
+from maestro_tpu.ops.resize import bicubic_matrix_np as _bicubic_matrix_np
+
+
 def interpolate_pos_embed(
     pos: jnp.ndarray,  # [1, L(+1), C] learned positions (optionally with CLS)
     grid: int,
     has_cls: bool,
 ) -> jnp.ndarray:
-    """CLS-aware bilinear resize of learned position embeddings.
+    """CLS-aware bicubic resize of learned position embeddings.
 
-    Reference: baselines/utils.py:148-196 (interpolate_pos_encoding).
+    Reference: baselines/utils.py:148-196 (interpolate_pos_encoding) —
+    fp32 ``F.interpolate(mode="bicubic", align_corners=False)``; separable,
+    so applied as A @ P @ A.T with the exact torch kernel matrix.
     """
     cls_pos, patch_pos = None, pos
     if has_cls:
@@ -36,10 +41,10 @@ def interpolate_pos_embed(
     src = round(patch_pos.shape[1] ** 0.5)
     if src != grid:
         c = patch_pos.shape[-1]
-        p = patch_pos.reshape(1, src, src, c)
-        p = jax.image.resize(p, (1, grid, grid, c), "bilinear",
-                             antialias=False)
-        patch_pos = p.reshape(1, grid * grid, c)
+        p = patch_pos.reshape(src, src, c).astype(jnp.float32)
+        a = jnp.asarray(_bicubic_matrix_np(src, grid))
+        p = jnp.einsum("rg,ghc,sh->rsc", a, p, a)
+        patch_pos = p.reshape(1, grid * grid, c).astype(pos.dtype)
     if has_cls:
         return jnp.concatenate([cls_pos, patch_pos], axis=1)
     return patch_pos

@@ -76,3 +76,29 @@ def test_pad_patch_kernel():
     assert abs(float(padded[:, 3:].std()) - 0.01) < 0.005
     # truncation case (fewer bands than RGB)
     np.testing.assert_array_equal(pad_patch_kernel(w, 2), w[:, :2])
+
+
+def test_pos_embed_interpolation_matches_torch_bicubic():
+    """interpolate_pos_embed == fp32 F.interpolate bicubic (reference
+    baselines/utils.py:184-189); jax.image's cubic kernel (A=-0.5) differs
+    from torch's (A=-0.75) by ~10%, so the torch matrix is built exactly."""
+    import numpy as np
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as F
+    import jax.numpy as jnp
+
+    from maestro_tpu.baselines.backbone import interpolate_pos_embed
+
+    rng = np.random.default_rng(0)
+    pos = rng.normal(size=(1, 37 * 37 + 1, 16)).astype(np.float32)
+    got = np.asarray(interpolate_pos_embed(jnp.asarray(pos), 24, has_cls=True))
+    pp = torch.from_numpy(
+        pos[:, 1:].reshape(1, 37, 37, 16).transpose(0, 3, 1, 2))
+    want = (
+        F.interpolate(pp, (24, 24), mode="bicubic", align_corners=False)
+        .numpy().transpose(0, 2, 3, 1).reshape(1, 576, 16)
+    )
+    np.testing.assert_allclose(got[:, 1:], want, atol=1e-4)
+    np.testing.assert_array_equal(got[:, :1], pos[:, :1])
