@@ -102,6 +102,28 @@ def trainable_roles(phase: str) -> tuple[str, ...]:
     raise ValueError(msg)
 
 
+# Value-keyed optimizer reuse: two calls with identical config and the same
+# param-tree structure produce semantically identical (stateless) optax
+# transforms.  Returning the SAME object lets the step-builder memo in
+# train/steps.py key on id(tx), so re-running a phase (in-process restart,
+# test suite) reuses the jitted step instead of retracing it.
+_TX_MEMO: dict[tuple, optax.GradientTransformation] = {}
+
+
+def _optimizer_key(opt, phase, total_steps, params, num_devices, lw_decay,
+                   depth, skip_nonfinite):
+    import dataclasses
+    import json
+
+    try:
+        cfg = json.dumps(dataclasses.asdict(opt), sort_keys=True, default=str)
+        treedef = jax.tree_util.tree_structure(params)
+    except (TypeError, ValueError):
+        return None
+    return (type(opt).__name__, cfg, phase, total_steps, num_devices,
+            lw_decay, depth, skip_nonfinite, treedef)
+
+
 def make_optimizer(
     opt: OptConfig,
     phase: str,
@@ -111,6 +133,21 @@ def make_optimizer(
     lw_decay: float | None = None,
     depth: int | None = None,
     skip_nonfinite: bool = False,
+) -> optax.GradientTransformation:
+    key = _optimizer_key(opt, phase, total_steps, params, num_devices,
+                         lw_decay, depth, skip_nonfinite)
+    if key is not None and key in _TX_MEMO:
+        return _TX_MEMO[key]
+    tx = _build_optimizer(opt, phase, total_steps, params, num_devices,
+                          lw_decay, depth, skip_nonfinite)
+    if key is not None:
+        _TX_MEMO[key] = tx
+    return tx
+
+
+def _build_optimizer(
+    opt, phase, total_steps, params, num_devices, lw_decay, depth,
+    skip_nonfinite,
 ) -> optax.GradientTransformation:
     schedule = onecycle(opt, total_steps, num_devices)
     adamw = optax.adamw(

@@ -88,6 +88,7 @@ class Experiment:
         self._warm_start: str | None = None  # load_* weights-only path
         self._writer = None
         self._saver = None  # lazy AsyncSaver (trainer.async_checkpoint)
+        self._viz_fns: dict[str, Any] = {}  # jitted per-phase viz forwards
 
     # ------------------------------------------------------------------
     def _save_ckpt(self, phase: str, epoch: int, state, extra: dict):
@@ -162,15 +163,15 @@ class Experiment:
             self.cfg.run.logged_images_per_epoch,
         )
         if phase == "pretrain":
-            pixels, masks, targets = self.model.apply(
-                state.params, batch, "pretrain", rngs={"mask": rng},
+            pixels, masks, targets = self._viz_forward("pretrain")(
+                state.params, batch, rng,
             )
             for i in range(n_samples):
                 logger.log_reconstruction(
                     phase, "val", epoch, targets, pixels, masks, sample=i,
                 )
             return
-        logits = self.model.apply(state.params, batch, phase)
+        logits = self._viz_forward(phase)(state.params, batch)
         for hs in self.model.head_specs:
             if hs.type_target != "segment":
                 continue
@@ -182,6 +183,22 @@ class Experiment:
                     np_batch[hs.name][i, 0, 0],
                     hs.num_classes, hs.missing_val, sample=i,
                 )
+
+    def _viz_forward(self, phase: str):
+        """Jitted forward for image logging — an eager ``model.apply`` here
+        would run the whole network op-by-op once per epoch."""
+        fn = self._viz_fns.get(phase)
+        if fn is None:
+            if phase == "pretrain":
+                fn = jax.jit(
+                    lambda p, b, r: self.model.apply(
+                        p, b, "pretrain", rngs={"mask": r},
+                    ),
+                )
+            else:
+                fn = jax.jit(lambda p, b: self.model.apply(p, b, phase))
+            self._viz_fns[phase] = fn
+        return fn
 
     def _log_confusion(self, phase, stage, epoch, metric_states) -> None:
         """CM heatmaps to TB + .npy dumps (reference train/logger.py:143-305)."""

@@ -23,6 +23,22 @@ from maestro_tpu.train.losses import prediction_losses, reconstruction_loss
 from maestro_tpu.train.state import TrainState
 
 
+# Value-keyed reuse of jitted step callables: rebuilding a step per
+# fit_phase / restart would retrace and relower the whole graph even though
+# nothing changed.  Keys use repr(model)/repr(plan) (flax modules and the
+# FusionPlan render every field deterministically) plus id(tx); the tx object
+# is pinned inside the memo value so its id() can never be recycled by a
+# different optimizer.
+_STEP_MEMO: dict[tuple, tuple] = {}
+
+
+def _memo_step(key: tuple, tx, build: Callable[[], Callable]) -> Callable:
+    hit = _STEP_MEMO.get(key)
+    if hit is None:
+        hit = _STEP_MEMO[key] = (build(), tx)
+    return hit[0]
+
+
 def make_pretrain_step(
     model: MaestroMAE,
     plan: FusionPlan,
@@ -31,6 +47,16 @@ def make_pretrain_step(
     donate: bool = True,
     fused_loss: bool = True,
 ) -> Callable:
+    key = ("pretrain", repr(model), repr(plan), id(tx), loss_type, donate,
+           fused_loss)
+    return _memo_step(
+        key, tx,
+        lambda: _build_pretrain_step(model, plan, tx, loss_type, donate,
+                                     fused_loss),
+    )
+
+
+def _build_pretrain_step(model, plan, tx, loss_type, donate, fused_loss):
     from maestro_tpu.ops.fused_loss import fused_reconstruction_loss
 
     def loss_fn(params, batch, rng):
@@ -73,6 +99,16 @@ def make_pretrain_multistep(
     the remote tunnel).  ``batch_stack`` leaves are [K, B, ...]; returns the
     final state and per-step losses [K].
     """
+    key = ("pretrain_multi", repr(model), repr(plan), id(tx), loss_type,
+           donate, fused_loss)
+    return _memo_step(
+        key, tx,
+        lambda: _build_pretrain_multistep(model, plan, tx, loss_type, donate,
+                                          fused_loss),
+    )
+
+
+def _build_pretrain_multistep(model, plan, tx, loss_type, donate, fused_loss):
     from maestro_tpu.ops.fused_loss import fused_reconstruction_loss
 
     def loss_fn(params, batch, rng):
@@ -111,6 +147,13 @@ def make_pretrain_eval_step(
     plan: FusionPlan,
     loss_type: str = "l1_norm",
 ) -> Callable:
+    key = ("pretrain_eval", repr(model), repr(plan), loss_type)
+    return _memo_step(
+        key, None, lambda: _build_pretrain_eval_step(model, plan, loss_type),
+    )
+
+
+def _build_pretrain_eval_step(model, plan, loss_type):
     def step(params, batch: dict, rng: jax.Array):
         pixels, masks, targets = model.apply(
             params, batch, "pretrain", rngs={"mask": rng},
@@ -127,6 +170,13 @@ def make_supervised_step(
     tx: optax.GradientTransformation,
     donate: bool = True,
 ) -> Callable:
+    key = ("supervised", repr(model), phase, id(tx), donate)
+    return _memo_step(
+        key, tx, lambda: _build_supervised_step(model, phase, tx, donate),
+    )
+
+
+def _build_supervised_step(model, phase, tx, donate):
     head_specs = model.head_specs
 
     def loss_fn(params, batch):
@@ -159,6 +209,13 @@ def make_supervised_eval_step(
     use_ema: bool = False,
 ) -> Callable:
     """Eval step; finetune val/test runs the EMA weights when available."""
+    key = ("supervised_eval", repr(model), phase, use_ema)
+    return _memo_step(
+        key, None, lambda: _build_supervised_eval_step(model, phase, use_ema),
+    )
+
+
+def _build_supervised_eval_step(model, phase, use_ema):
     head_specs = model.head_specs
 
     @partial(jax.jit, static_argnames=())

@@ -24,6 +24,23 @@ from maestro_tpu.conf import (
 )
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Release compiled executables after each test module.
+
+    pytest keeps every test module imported, so every jitted function (and
+    its XLA:CPU executable) stays live for the whole session.  With the full
+    suite's accumulation, XLA:CPU compilation of the largest module (the
+    multislice-FSDP train step) segfaults deterministically inside
+    backend_compile_and_load — reproduced on three consecutive full-suite
+    runs, while any ~half-suite subset passes.  Clearing jit caches between
+    modules keeps the live-executable population bounded; within-module
+    sharing (fixtures, the train/steps memo) is unaffected.
+    """
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session")
 def datasets_treesat() -> DatasetsConfig:
     return DatasetsConfig(name_dataset="treesatai_ts")
@@ -59,12 +76,12 @@ def opt_finetune() -> OptFinetuneConfig:
     return OptFinetuneConfig()
 
 
-# Persistent XLA compilation cache: the suite is dominated by CPU compiles of
-# jitted train steps (micro-arch graphs still take 10-100 s each to compile);
-# caching them across runs cuts repeat suite time by an order of magnitude.
-jax.config.update("jax_compilation_cache_dir", "/tmp/maestro_tpu_jax_cache")
-# persist even sub-second compiles: the e2e/runtime tests dispatch hundreds of
-# small jitted graphs (eval steps, metric updates) whose ~40 ms compiles add
-# up to ~half a minute per run when excluded from the cache
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+# Persistent XLA compilation cache: cuts warm full-suite time ~3x (the suite
+# is dominated by XLA:CPU compiles of jitted train steps).  Disable with
+# MAESTRO_TEST_NO_COMPILE_CACHE=1.  Only works together with the per-module
+# jax.clear_caches() fixture above: without it, the accumulated live
+# executables crash XLA:CPU late in the suite, and those crashes surface
+# inside whatever big C++ allocation runs next — compilation OR the cache's
+# executable (de)serialization, which made the cache look guilty at first.
+if not os.environ.get("MAESTRO_TEST_NO_COMPILE_CACHE"):
+    jax.config.update("jax_compilation_cache_dir", "/tmp/maestro_tpu_jax_cache")

@@ -72,6 +72,16 @@ def dp8(setup):
     return _run_steps(setup, 8, 1)
 
 
+@pytest.fixture(scope="module")
+def dp4_tp2(setup):
+    return _run_steps(setup, 4, 2)
+
+
+@pytest.fixture(scope="module")
+def fsdp8(setup):
+    return _run_steps(setup, 8, 1, fsdp=True)
+
+
 def _assert_trees_close(a, b, rtol=5e-4, atol=1e-6):
     jax.tree.map(
         lambda x, y: np.testing.assert_allclose(
@@ -89,20 +99,20 @@ def test_dp8_matches_dp1(setup, dp8):
     _assert_trees_close(state8.params, state1.params)
 
 
-def test_dp4_tp2_matches_dp8(setup, dp8):
+def test_dp4_tp2_matches_dp8(setup, dp8, dp4_tp2):
     """Tensor-sharding attention/MLP kernels does not change the math."""
     state8, losses8 = dp8
-    state42, losses42 = _run_steps(setup, 4, 2)
+    state42, losses42 = dp4_tp2
     np.testing.assert_allclose(losses42, losses8, rtol=1e-4)
     _assert_trees_close(state42.params, state8.params)
 
 
-def test_params_stay_sharded_after_update(setup):
+def test_params_stay_sharded_after_update(setup, dp4_tp2):
     """Optimizer updates must preserve the NamedShardings on every param."""
     model, plan, batch, params = setup
     mesh = make_mesh(4, 2)
     expected = param_shardings(mesh, params)
-    state, _ = _run_steps(setup, 4, 2, n_steps=1)
+    state, _ = dp4_tp2
 
     n_tp_sharded = 0
     for (path, leaf), (_, want) in zip(
@@ -122,19 +132,19 @@ def test_params_stay_sharded_after_update(setup):
     assert n_tp_sharded > 0, "no parameter is tensor-sharded on the tp mesh"
 
 
-def test_fsdp_dp8_matches_dp1(setup, dp8):
+def test_fsdp_dp8_matches_dp1(setup, dp8, fsdp8):
     """ZeRO-3 weight sharding over the data axis does not change the math."""
     state8, losses8 = dp8
-    statef, lossesf = _run_steps(setup, 8, 1, fsdp=True)
+    statef, lossesf = fsdp8
     np.testing.assert_allclose(lossesf, losses8, rtol=1e-4)
     _assert_trees_close(statef.params, state8.params)
 
 
-def test_fsdp_shards_weights_and_moments(setup):
+def test_fsdp_shards_weights_and_moments(setup, fsdp8):
     """Large kernels (and their AdamW moments) live sharded over "data"."""
     from maestro_tpu.parallel.mesh import DATA_AXIS
 
-    state, _ = _run_steps(setup, 8, 1, n_steps=1, fsdp=True)
+    state, _ = fsdp8
 
     def data_sharded_leaves(tree):
         n = 0
@@ -233,14 +243,14 @@ def test_multislice_fsdp_shards_within_slice_only(setup, dp8):
         )
 
 
-def test_checkpoint_elastic_across_mesh_shapes(setup, tmp_path):
+def test_checkpoint_elastic_across_mesh_shapes(setup, dp8, tmp_path):
     """A checkpoint saved under dp8 restores into a dp4 x tp2 (and dp2)
     template: orbax reshards on restore from the template's NamedShardings,
     so resuming on a different slice size/topology (elastic world size,
     beyond the reference) needs no conversion step."""
     from maestro_tpu.train import checkpoint as ckpt
 
-    state8, _ = _run_steps(setup, 8, 1, n_steps=1)
+    state8, _ = dp8
     path = ckpt.save_checkpoint(tmp_path / "ck", "pretrain", 0, state8)
 
     model, plan, batch, params = setup
