@@ -108,6 +108,7 @@ def trainable_roles(phase: str) -> tuple[str, ...]:
 # train/steps.py key on id(tx), so re-running a phase (in-process restart,
 # test suite) reuses the jitted step instead of retracing it.
 _TX_MEMO: dict[tuple, optax.GradientTransformation] = {}
+_TX_MEMO_MAX = 64  # bounded: long-lived sweeps must not pin every config
 
 
 def _optimizer_key(opt, phase, total_steps, params, num_devices, lw_decay,
@@ -137,10 +138,13 @@ def make_optimizer(
     key = _optimizer_key(opt, phase, total_steps, params, num_devices,
                          lw_decay, depth, skip_nonfinite)
     if key is not None and key in _TX_MEMO:
+        _TX_MEMO[key] = _TX_MEMO.pop(key)  # refresh LRU order
         return _TX_MEMO[key]
     tx = _build_optimizer(opt, phase, total_steps, params, num_devices,
                           lw_decay, depth, skip_nonfinite)
     if key is not None:
+        while len(_TX_MEMO) >= _TX_MEMO_MAX:
+            _TX_MEMO.pop(next(iter(_TX_MEMO)))
         _TX_MEMO[key] = tx
     return tx
 

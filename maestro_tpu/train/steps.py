@@ -30,12 +30,17 @@ from maestro_tpu.train.state import TrainState
 # is pinned inside the memo value so its id() can never be recycled by a
 # different optimizer.
 _STEP_MEMO: dict[tuple, tuple] = {}
+_STEP_MEMO_MAX = 32  # bound the pinned executables (LRU eviction)
 
 
 def _memo_step(key: tuple, tx, build: Callable[[], Callable]) -> Callable:
     hit = _STEP_MEMO.get(key)
     if hit is None:
+        while len(_STEP_MEMO) >= _STEP_MEMO_MAX:
+            _STEP_MEMO.pop(next(iter(_STEP_MEMO)))
         hit = _STEP_MEMO[key] = (build(), tx)
+    else:  # refresh LRU order
+        _STEP_MEMO[key] = _STEP_MEMO.pop(key)
     return hit[0]
 
 

@@ -83,5 +83,7 @@ def opt_finetune() -> OptFinetuneConfig:
 # executables crash XLA:CPU late in the suite, and those crashes surface
 # inside whatever big C++ allocation runs next — compilation OR the cache's
 # executable (de)serialization, which made the cache look guilty at first.
-if not os.environ.get("MAESTRO_TEST_NO_COMPILE_CACHE"):
+if os.environ.get("MAESTRO_TEST_NO_COMPILE_CACHE", "0").lower() not in (
+    "1", "true", "yes",
+):
     jax.config.update("jax_compilation_cache_dir", "/tmp/maestro_tpu_jax_cache")

@@ -24,7 +24,6 @@ from maestro_tpu.conf import (
     OptFinetuneConfig,
 )
 from maestro_tpu.models.mae import build_model
-from maestro_tpu.train import metrics as M
 from maestro_tpu.train.optim import make_optimizer
 from maestro_tpu.train.state import TrainState
 from maestro_tpu.train.steps import (
@@ -65,7 +64,7 @@ def test_multilabel_finetune_beats_chance():
     ds.treesatai_ts.aerial.patch_size.mae = 4
     ds.treesatai_ts.__post_init__()
     cfg = ModelConfig(model_size="micro", fusion_mode="group", inter_depth=1)
-    model, plan = build_model(ds, MaskConfig(), cfg, dtype=jnp.float32)
+    model, _ = build_model(ds, MaskConfig(), cfg, dtype=jnp.float32)
     rng = np.random.default_rng(42)
     batches = [
         {k: jnp.asarray(v)
@@ -127,7 +126,7 @@ def test_segmentation_finetune_beats_chance():
     ds.pastis_hd.spot.patch_size.mae = 4
     ds.pastis_hd.__post_init__()
     cfg = ModelConfig(model_size="micro", fusion_mode="group", inter_depth=1)
-    model, plan = build_model(ds, MaskConfig(), cfg, dtype=jnp.float32)
+    model, _ = build_model(ds, MaskConfig(), cfg, dtype=jnp.float32)
     rng = np.random.default_rng(7)
     batch = {
         k: jnp.asarray(v)
