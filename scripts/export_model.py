@@ -5,7 +5,12 @@ Usage::
     python scripts/export_model.py OUT.stablehlo \
         datasets.name_dataset=flair model.model_size=medium \
         run.load_ckpt_path=/path/to/finetune-epoch=42 \
-        [--phase=finetune|probe|embed] [--platforms=tpu,cpu] [--fixed-batch=N]
+        [--phase=finetune|probe|embed] [--platforms=tpu,cpu] \
+        [--fixed-batch=N] [--quantize=int8]
+
+``--quantize=int8`` exports the w8a8 serving path (maestro_tpu.quant):
+transformer Dense kernels stored int8 with per-channel scales, activations
+dynamically quantized per token, matmuls run int8 on the MXU.
 
 Positional dotted overrides are the same ``group.field=value`` CLI as
 ``main.py``.  The artifact takes (params, batch) as inputs — weights are NOT
@@ -29,6 +34,7 @@ def main(argv: list[str]) -> None:
     phase = "finetune"
     platforms = None
     fixed_batch = None
+    quantize = None
     overrides = []
     for arg in argv:
         if arg.startswith("--phase="):
@@ -37,6 +43,11 @@ def main(argv: list[str]) -> None:
             platforms = tuple(arg.split("=", 1)[1].split(","))
         elif arg.startswith("--fixed-batch="):
             fixed_batch = int(arg.split("=", 1)[1])
+        elif arg.startswith("--quantize="):
+            quantize = arg.split("=", 1)[1]
+            if quantize not in ("int8",):
+                msg = f"--quantize supports int8, got {quantize!r}"
+                raise SystemExit(msg)
         elif "=" in arg:
             overrides.append(arg)
         elif out_path is None:
@@ -97,11 +108,18 @@ def main(argv: list[str]) -> None:
             )
             raise SystemExit(msg)
 
-    fn = (
-        make_embed_fn(model)
-        if phase == "embed"
-        else make_predict_fn(model, phase)
-    )
+    if quantize == "int8":
+        if phase == "embed":
+            msg = "--quantize=int8 applies to predict phases, not embed"
+            raise SystemExit(msg)
+        from maestro_tpu.quant import make_quant_predict_fn, quantize_params
+
+        params = quantize_params(params)
+        fn = make_quant_predict_fn(model, phase)
+    elif phase == "embed":
+        fn = make_embed_fn(model)
+    else:
+        fn = make_predict_fn(model, phase)
     blob = export_predict(
         model, params, batch, phase if phase != "embed" else "probe",
         fn=fn,
@@ -113,6 +131,9 @@ def main(argv: list[str]) -> None:
         "phase": phase,
         "dataset": datasets.name_dataset,
         "model_size": cfg.model.model_size,
+        # int8 artifacts take the quantize_params() tree as input: restore
+        # the fp checkpoint with orbax, then maestro_tpu.quant.quantize_params
+        "quantize": quantize,
         "symbolic_batch": fixed_batch is None,
         "platforms": list(platforms) if platforms else ["default"],
         "inputs": {

@@ -58,3 +58,40 @@ def test_export_cli_roundtrip(tmp_path, capsys):
         arr = np.asarray(logits[hs.name])
         assert arr.shape[0] == 3  # symbolic batch dim serves bs != export bs
         assert np.isfinite(arr).all()
+
+
+def test_export_cli_int8(tmp_path):
+    """--quantize=int8 emits an artifact over the quantized param tree."""
+    cli = _load_cli()
+    out = tmp_path / "probe_int8.stablehlo"
+    cli.main([
+        str(out),
+        "model.model_size=micro", "model.inter_depth=1",
+        "model.fusion_mode=group", "--phase=probe", "--quantize=int8",
+        "--fixed-batch=2",
+    ])
+    manifest = json.loads(Path(str(out) + ".json").read_text())
+    assert manifest["quantize"] == "int8"
+
+    from maestro_tpu.conf import DatasetsConfig, MaskConfig, ModelConfig
+    from maestro_tpu.models.mae import build_model
+    from maestro_tpu.quant import quantize_params
+    from maestro_tpu.serve import load_exported
+    from maestro_tpu.utils.testing import make_synthetic_batch
+
+    ds = DatasetsConfig(name_dataset="treesatai_ts")
+    model, _ = build_model(
+        ds, MaskConfig(),
+        ModelConfig(model_size="micro", fusion_mode="group", inter_depth=1),
+    )
+    batch = {
+        k: jax.numpy.asarray(v)
+        for k, v in make_synthetic_batch(ds.dataset, 2).items()
+    }
+    key = jax.random.PRNGKey(0)
+    params = jax.jit(
+        lambda b: model.init({"params": key, "mask": key}, b, "probe"),
+    )(batch)
+    logits = load_exported(out)(quantize_params(params), batch)
+    for hs in model.head_specs:
+        assert np.isfinite(np.asarray(logits[hs.name])).all()
