@@ -5,7 +5,7 @@ Usage::
     python scripts/predict.py OUT_DIR \
         datasets.name_dataset=flair datasets.root_dir=/data \
         model.model_size=medium run.load_ckpt_path=runs/.../finetune-epoch=49 \
-        [--split=test] [--batch-size=32] [--probs]
+        [--split=test] [--batch-size=32] [--probs] [--quantize=int8]
 
 Writes one ``.npy`` per target head:
 
@@ -34,6 +34,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 def main(argv: list[str]) -> None:
     out_dir, split, batch_size, want_probs = None, "test", 32, False
+    quantize = None
     overrides = []
     for arg in argv:
         if arg.startswith("--split="):
@@ -42,6 +43,11 @@ def main(argv: list[str]) -> None:
             batch_size = int(arg.split("=", 1)[1])
         elif arg == "--probs":
             want_probs = True
+        elif arg.startswith("--quantize="):
+            quantize = arg.split("=", 1)[1]
+            if quantize not in ("int8",):
+                msg = f"--quantize supports int8, got {quantize!r}"
+                raise SystemExit(msg)
         elif "=" in arg:
             overrides.append(arg)
         elif out_dir is None:
@@ -94,7 +100,13 @@ def main(argv: list[str]) -> None:
         )
         raise SystemExit(msg)
 
-    predict = make_predict_fn(model, "finetune")
+    if quantize == "int8":
+        from maestro_tpu.quant import make_quant_predict_fn, quantize_params
+
+        params = quantize_params(params)
+        predict = make_quant_predict_fn(model, "finetune")
+    else:
+        predict = make_predict_fn(model, "finetune")
     head_specs = {hs.name: hs for hs in model.head_specs}
     for hs in head_specs.values():
         (out_dir / hs.name).mkdir(parents=True, exist_ok=True)

@@ -94,6 +94,29 @@ def test_multilabel_finetune_beats_chance():
         "treesat_mlc_thresh"]["weighted_f1"]
     assert wf1 > 0.8, f"model failed to learn the striped labels: wF1={wf1}"
 
+    # int8 serving path on the TRAINED weights: the task metric must survive
+    # quantization (a far stronger accuracy check than logit cosine on
+    # random weights)
+    from maestro_tpu.quant import make_quant_predict_fn, quantize_params
+
+    qfn = make_quant_predict_fn(model, "finetune")
+    qp = quantize_params(state.params)
+    ms_q = init_metric_states(model.head_specs)
+    for b in batches:
+        logits = qfn(qp, b)
+        from maestro_tpu.train import metrics as M
+        from maestro_tpu.train.losses import prediction_losses
+
+        _, aux = prediction_losses(model.head_specs, b, logits)
+        ms_q = {
+            hs.name: M.metric_update(hs.type_target, ms_q[hs.name],
+                                     aux[hs.name])
+            for hs in model.head_specs
+        }
+    wf1_q = compute_metrics(model.head_specs, ms_q)[
+        "treesat_mlc_thresh"]["weighted_f1"]
+    assert wf1_q > 0.8, f"int8 quantization broke the trained model: {wf1_q}"
+
 
 def _quadrant_pastis_batch(datasets, batch: int, rng: np.random.Generator):
     """Segmentation target = which image quadrant, readable from the S2
