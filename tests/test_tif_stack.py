@@ -56,3 +56,46 @@ def test_flair_tif_stack_matches_npy_mirror(tmp_path):
     for key in a:
         np.testing.assert_array_equal(a[key], b[key], err_msg=key)
     assert np.isfinite(a["aerial"]).all()
+
+
+def test_convert_dataset_cli(tmp_path):
+    """scripts/convert_dataset.py writes [T, C, H, W] mirrors the loader
+    prefers; converted reads match the direct-npy fixture bit-exactly."""
+    import importlib.util
+    import json
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parent.parent
+    for kind, use_tif in (("npy", False), ("tif", True)):
+        write_flair_fixture(tmp_path / kind, num_tiles=1, seed=0,
+                            use_tif=use_tif)
+
+    sys.path.insert(0, str(repo))
+    spec = importlib.util.spec_from_file_location(
+        "convert_dataset_cli", repo / "scripts" / "convert_dataset.py",
+    )
+    cli = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(cli)
+    cli.main([
+        "datasets.name_dataset=flair",
+        f"datasets.root_dir={tmp_path / 'tif'}",
+        "datasets.flair.rel_dir=", "--splits=train", "--check",
+    ])
+    mirrors = list((tmp_path / "tif").rglob("*.npy"))
+    assert mirrors, "converter wrote no mirrors"
+    # every mirror is [T, C, H, W]
+    assert all(np.load(m, mmap_mode="r").ndim == 4 for m in mirrors)
+
+    def build(root):
+        cfg = DatasetsConfig(name_dataset="flair", root_dir=str(root))
+        return FLAIRDataset(
+            cfg.dataset, root, "train", use_transform=False,
+            random_dates=False, random_crop=False, ssl_phase="finetune",
+            seed=0,
+        )
+
+    a = build(tmp_path / "npy")[0]
+    b = build(tmp_path / "tif")[0]  # now reads the converted mirrors
+    for key in a:
+        np.testing.assert_array_equal(a[key], b[key], err_msg=key)
