@@ -141,3 +141,17 @@ def make_quant_predict_fn(model, phase: str = "finetune") -> Callable:
             return model.apply(params, batch, phase)
 
     return predict
+
+
+def make_quant_embed_fn(model) -> Callable:
+    """Quantized counterpart of ``serve.make_embed_fn`` (retrieval path)."""
+    from maestro_tpu.serve import _embed_method, make_embed_fn
+
+    make_embed_fn(model)  # reuse its MAE-only type check
+
+    @jax.jit
+    def embed(params, batch):
+        with nn.intercept_methods(quant_interceptor):
+            return model.apply(params, batch, method=_embed_method)
+
+    return embed

@@ -109,13 +109,18 @@ def main(argv: list[str]) -> None:
             raise SystemExit(msg)
 
     if quantize == "int8":
-        if phase == "embed":
-            msg = "--quantize=int8 applies to predict phases, not embed"
-            raise SystemExit(msg)
-        from maestro_tpu.quant import make_quant_predict_fn, quantize_params
+        from maestro_tpu.quant import (
+            make_quant_embed_fn,
+            make_quant_predict_fn,
+            quantize_params,
+        )
 
         params = quantize_params(params)
-        fn = make_quant_predict_fn(model, phase)
+        fn = (
+            make_quant_embed_fn(model)
+            if phase == "embed"
+            else make_quant_predict_fn(model, phase)
+        )
     elif phase == "embed":
         fn = make_embed_fn(model)
     else:

@@ -88,6 +88,22 @@ def test_unquantized_params_run_identical_under_interceptor(setup):
                                       np.asarray(same[name]))
 
 
+def test_quant_embeddings_track_fp(setup):
+    from maestro_tpu.quant import make_quant_embed_fn
+    from maestro_tpu.serve import make_embed_fn
+
+    model, batch, params = setup
+    qp = quantize_params(params)
+    fp = make_embed_fn(model)(params, batch)
+    qt = make_quant_embed_fn(model)(qp, batch)
+    for name in fp:
+        a = np.asarray(fp[name], np.float64).ravel()
+        b = np.asarray(qt[name], np.float64).ravel()
+        cos = float((a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b)
+                                     + 1e-12))
+        assert cos > 0.999, f"{name}: quantized embeddings diverged, {cos}"
+
+
 def test_quant_export_roundtrip(setup):
     """int8 dot_general is plain StableHLO: exported artifacts keep it."""
     model, batch, params = setup
