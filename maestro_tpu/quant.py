@@ -38,10 +38,14 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 # Param-dict keys that always hold an nn.Dense in this codebase (the
-# transformer hot path).  The interceptor additionally checks
-# isinstance(module, nn.Dense), so an allowlisted name outside a Dense can
-# never be silently mis-executed — it would just never hit the int8 path.
-DENSE_NAMES = frozenset({"qkv", "out", "fc1", "fc2", "to_kv"})
+# transformer hot path, incl. the FM baseline adapters' attention blocks —
+# exact matches, so the patch projections named proj0/proj1/... stay fp).
+# The interceptor additionally checks isinstance(module, nn.Dense), so an
+# allowlisted name outside a Dense can never be silently mis-executed — it
+# would just never hit the int8 path.
+DENSE_NAMES = frozenset(
+    {"qkv", "out", "fc1", "fc2", "to_kv", "to_q", "to_k", "to_v", "proj"},
+)
 _EPS = 1e-8
 
 

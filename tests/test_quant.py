@@ -104,6 +104,45 @@ def test_quant_embeddings_track_fp(setup):
         assert cos > 0.999, f"{name}: quantized embeddings diverged, {cos}"
 
 
+def test_quant_baseline_adapter_tracks_fp():
+    """FM adapters quantize through the same interceptor (their attention
+    blocks reuse the qkv/out/fc1/fc2/proj Dense names)."""
+    from maestro_tpu.baselines import build_baseline
+    from maestro_tpu.conf import BaselineConfig
+
+    ds = DatasetsConfig(name_dataset="treesatai_ts")
+    for m in ("s2", "s1_asc", "s1_des"):
+        getattr(ds.treesatai_ts, m).image_size = 32
+    ds.treesatai_ts.aerial.image_size = 224
+    model = build_baseline(
+        ds, BaselineConfig(model="dinov2", model_size="micro",
+                           fusion_mode="monotemp"),
+        dtype=jnp.float32,
+    )
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in make_synthetic_batch(ds.dataset, 2).items()
+    }
+    key = jax.random.PRNGKey(0)
+    params = jax.jit(
+        lambda b: model.init({"params": key}, b, "finetune"),
+    )(batch)
+    qp = quantize_params(params)
+    n_q = sum(
+        1 for p, _ in jax.tree_util.tree_flatten_with_path(qp)[0]
+        if "kernel_scale" in str(p)
+    )
+    assert n_q >= 4, f"expected backbone Denses quantized, got {n_q}"
+    fp = make_predict_fn(model, "finetune")(params, batch)
+    qt = make_quant_predict_fn(model, "finetune")(qp, batch)
+    for name in fp:
+        a = np.asarray(fp[name], np.float64).ravel()
+        b = np.asarray(qt[name], np.float64).ravel()
+        cos = float((a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b)
+                                     + 1e-12))
+        assert cos > 0.995, f"{name}: baseline quant diverged, cos={cos}"
+
+
 def test_quant_export_roundtrip(setup):
     """int8 dot_general is plain StableHLO: exported artifacts keep it."""
     model, batch, params = setup
