@@ -41,6 +41,35 @@ WARMUP_STEPS = 3
 BENCH_STEPS = 10
 
 
+def probe_device(timeout_s: float | None = None) -> None:
+    """Fail fast (with a parseable JSON line) if the accelerator is dead.
+
+    The remote-tunnel backend can hang indefinitely inside jax.devices()
+    when the link is down; a benchmark that never returns is worse than one
+    that reports the outage.  Probe on a daemon thread and bail on timeout.
+    """
+    import threading
+
+    timeout_s = timeout_s or float(os.environ.get("BENCH_DEVICE_TIMEOUT", 180))
+    result: list = []
+
+    def _probe() -> None:
+        result.append(jax.devices())
+
+    t = threading.Thread(target=_probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if not result:
+        print(json.dumps({
+            "metric": "tokens_per_sec_per_chip_mae_vitb_pretrain_flair",
+            "value": 0.0,
+            "unit": "tokens/s/chip",
+            "vs_baseline": 0.0,
+            "error": f"accelerator unreachable (device probe > {timeout_s}s)",
+        }))
+        raise SystemExit(2)
+
+
 def peak_flops_for(device) -> float:
     kind = getattr(device, "device_kind", "").lower()
     for key, val in PEAK_FLOPS.items():
@@ -50,6 +79,7 @@ def peak_flops_for(device) -> float:
 
 
 def main() -> None:
+    probe_device()
     from maestro_tpu.conf import (
         DatasetsConfig,
         MaskConfig,
