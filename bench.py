@@ -48,26 +48,41 @@ def probe_device(timeout_s: float | None = None) -> None:
     when the link is down; a benchmark that never returns is worse than one
     that reports the outage.  Probe on a daemon thread and bail on timeout.
     """
+    import sys
     import threading
 
-    timeout_s = timeout_s or float(os.environ.get("BENCH_DEVICE_TIMEOUT", 180))
-    result: list = []
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("BENCH_DEVICE_TIMEOUT", 180))
+    if timeout_s <= 0:  # probe disabled
+        return
+    ok: list = []
+    err: list = []
 
     def _probe() -> None:
-        result.append(jax.devices())
+        try:
+            ok.append(jax.devices())
+        except Exception as e:  # noqa: BLE001 - report, don't mask as timeout
+            err.append(e)
 
     t = threading.Thread(target=_probe, daemon=True)
     t.start()
     t.join(timeout_s)
-    if not result:
+    if not ok:
+        cause = (
+            f"device init failed: {err[0]!r}" if err
+            else f"accelerator unreachable (device probe > {timeout_s}s)"
+        )
         print(json.dumps({
-            "metric": "tokens_per_sec_per_chip_mae_vitb_pretrain_flair",
+            "metric": f"tokens_per_sec_per_chip_mae_{VIT_TAG}_{PHASE}_{DATASET}",
             "value": 0.0,
             "unit": "tokens/s/chip",
             "vs_baseline": 0.0,
-            "error": f"accelerator unreachable (device probe > {timeout_s}s)",
+            "error": cause,
         }))
-        raise SystemExit(2)
+        sys.stdout.flush()
+        # SystemExit would run atexit hooks that may block on the same wedged
+        # backend-init lock the probe thread holds - terminate outright
+        os._exit(2)
 
 
 def peak_flops_for(device) -> float:
