@@ -385,8 +385,14 @@ NO_MASK = MaskConfig(mask_ratio=0.0, mask_scale=0.0, mask_mod=None,
                      mask_bands=None, mask_dates=None, mask_loc=None)
 
 
-def test_full_mae_forward_parity(datasets_treesat):
-    cfg = ModelConfig(model_size="micro", fusion_mode="group", inter_depth=1)
+@pytest.mark.parametrize("fusion_mode", ["shared", "monotemp", "mod", "group"])
+def test_full_mae_forward_parity(datasets_treesat, fusion_mode):
+    # the torch mirror is plan-driven, so the same golden check covers every
+    # fusion layout (date-into-batch for shared/monotemp, date-into-sequence
+    # for mod, group-concat for group); inter trunk where multi-stream
+    inter_depth = 1 if fusion_mode in ("mod", "group") else 0
+    cfg = ModelConfig(model_size="micro", fusion_mode=fusion_mode,
+                      inter_depth=inter_depth)
     model, plan = build_model(datasets_treesat, NO_MASK, cfg, dtype=jnp.float32)
 
     torch.manual_seed(7)
