@@ -1,0 +1,188 @@
+"""Joint multi-dataset MAE pretraining (beyond the reference).
+
+The reference transfers across datasets sequentially: pretrain on A, then
+warm-start B with ``run.load_name`` — weight sharing happens through
+name_embed-aliased patch embeds and same-name encoder modules surviving the
+strict=False merge (/root/reference/maestro/ssl/mim.py:62-79,
+run_experiment.py:66-74).  Joint pretraining generalizes that to
+*simultaneous* training: one union parameter tree in which modules with the
+same path — patch embeds shared via ``name_embed``, per-group encoders, the
+shared inter trunk, decoders, mask tokens — are literally the same arrays,
+trained by alternating per-dataset jitted steps.  Each dataset keeps its own
+static shapes and FusionPlan, so each step is its own XLA program over the
+shared tree (TPU-native: no dynamic shapes, no retracing between datasets).
+
+Sharing rules:
+
+* embedders/pixelify share when ``name_embed`` matches AND the kernel shapes
+  agree ((band_groups, patch_size)); conflicting aliases are rewritten to
+  dataset-local names (``{name}__{dataset}``) — the same outcome the
+  reference's strict=False merge produces (mismatched shapes stay fresh).
+* encoders/decoders/trunk share by stream name — their parameters are
+  sequence-length-independent, so they are always shape-compatible.
+* per-dataset updates are masked to the leaves that dataset's model owns:
+  torch AdamW skips grad-less params, and without the mask optax's weight
+  decay would shrink the other datasets' modules on every alternate step.
+  (Adam moments of unused leaves still decay while a dataset is idle — a
+  mild, documented deviation; the parameters themselves are untouched.)
+"""
+
+from __future__ import annotations
+
+import copy
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from maestro_tpu.conf.core import MaskConfig, ModelConfig
+from maestro_tpu.models.mae import build_model
+from maestro_tpu.train.state import TrainState
+
+
+def dedupe_embed_aliases(datasets_cfgs: list, model: str = "mae") -> list:
+    """Rewrite ``name_embed`` so only shape-compatible embedders share.
+
+    Returns deep copies; the inputs are untouched.
+    """
+    out = [copy.deepcopy(d) for d in datasets_cfgs]
+    sig_of: dict[str, tuple] = {}
+    for dcfg in out:
+        renamed = False
+        for name, mod in dcfg.dataset.inputs.items():
+            alias = mod.name_embed or name
+            sig = (tuple(mod.band_groups), mod.patch_size.for_model(model))
+            prev = sig_of.get(alias)
+            if prev is None:
+                sig_of[alias] = sig
+            elif prev != sig:
+                mod.name_embed = f"{alias}__{dcfg.name_dataset}"
+                sig_of[mod.name_embed] = sig
+                renamed = True
+        if renamed:
+            dcfg.dataset.__post_init__()  # re-derive any alias-driven state
+    return out
+
+
+def build_joint(
+    datasets_cfgs: list,
+    mask_cfg: MaskConfig,
+    model_cfg: ModelConfig,
+    dtype: Any = jnp.bfloat16,
+    remat: Any = False,
+) -> tuple[list, list, list]:
+    """(deduped dataset cfgs, models, plans) for joint pretraining."""
+    cfgs = dedupe_embed_aliases(datasets_cfgs, model=model_cfg.model)
+    models, plans = [], []
+    for dcfg in cfgs:
+        m, p = build_model(dcfg, mask_cfg, model_cfg, dtype=dtype, remat=remat)
+        models.append(m)
+        plans.append(p)
+    return cfgs, models, plans
+
+
+def _paths(tree) -> set[tuple]:
+    return {
+        tuple(str(getattr(k, "key", k)) for k in p)
+        for p, _ in jax.tree_util.tree_flatten_with_path(tree)[0]
+    }
+
+
+def _merge(a: dict, b: dict, path: tuple = ()) -> dict:
+    out = dict(a)
+    for k, v in b.items():
+        if k not in out:
+            out[k] = v
+        elif isinstance(v, dict):
+            out[k] = _merge(out[k], v, (*path, k))
+        elif getattr(out[k], "shape", None) != getattr(v, "shape", None):
+            msg = (
+                f"joint param collision at {'/'.join((*path, k))}: "
+                f"{getattr(out[k], 'shape', None)} vs {getattr(v, 'shape', None)}"
+                " (dedupe_embed_aliases should have renamed this module)"
+            )
+            raise ValueError(msg)
+    return out
+
+
+def init_joint_params(models: list, batches: list, seed: int = 0):
+    """Union init.  The SAME root key is used for every model, and flax
+    derives per-param rngs from the tree path, so shared paths draw
+    IDENTICAL values in every template — the merge is conflict-free by
+    construction.  Returns (union_params, per-model templates)."""
+    key = jax.random.PRNGKey(seed)
+    union: dict | None = None
+    templates = []
+    for model, batch in zip(models, batches):
+        params = jax.jit(
+            lambda b, m=model: m.init({"params": key, "mask": key}, b,
+                                      "pretrain"),
+        )(batch)
+        templates.append(params)
+        union = params if union is None else _merge(union, params)
+    return union, templates
+
+
+def used_mask(union, template):
+    """Pytree of bools over the union: leaves owned by ``template``."""
+    owned = _paths(template)
+    return jax.tree_util.tree_map_with_path(
+        lambda p, _: tuple(str(getattr(k, "key", k)) for k in p) in owned,
+        union,
+    )
+
+
+def make_joint_pretrain_steps(
+    models: list,
+    plans: list,
+    tx: optax.GradientTransformation,
+    union,
+    templates: list,
+    loss_type: str = "l1_norm",
+    donate: bool = False,
+) -> list[Callable]:
+    """One jitted ``step(state, batch, rng)`` per dataset over the shared
+    TrainState; updates masked to the dataset's own subtree."""
+    from maestro_tpu.ops.fused_loss import fused_reconstruction_loss
+
+    steps = []
+    for model, plan, tpl in zip(models, plans, templates):
+        mask = used_mask(union, tpl)
+
+        def build(model=model, plan=plan, mask=mask):
+            def loss_fn(params, batch, rng):
+                rec, masks_, targets = model.apply(
+                    params, batch, "pretrain", False, rngs={"mask": rng},
+                )
+                return fused_reconstruction_loss(plan, targets, rec, masks_,
+                                                 loss_type)
+
+            def step(state: TrainState, batch: dict, rng: jax.Array):
+                rng = jax.random.fold_in(rng, state.step)
+                loss, grads = jax.value_and_grad(loss_fn)(
+                    state.params, batch, rng,
+                )
+                updates, opt_state = tx.update(grads, state.opt_state,
+                                               state.params)
+                updates = jax.tree_util.tree_map(
+                    lambda u, m: u if m else jnp.zeros_like(u), updates, mask,
+                )
+                params = optax.apply_updates(state.params, updates)
+                return state.replace(
+                    step=state.step + 1, params=params, opt_state=opt_state,
+                ), {"loss_rec": loss}
+
+            return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+        steps.append(build())
+    return steps
+
+
+def shared_param_paths(templates: list) -> set[tuple]:
+    """Paths present in more than one dataset's template (the shared core)."""
+    counts: dict[tuple, int] = {}
+    for tpl in templates:
+        for p in _paths(tpl):
+            counts[p] = counts.get(p, 0) + 1
+    return {p for p, n in counts.items() if n > 1}

