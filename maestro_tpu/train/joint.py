@@ -144,19 +144,14 @@ def make_joint_pretrain_steps(
 ) -> list[Callable]:
     """One jitted ``step(state, batch, rng)`` per dataset over the shared
     TrainState; updates masked to the dataset's own subtree."""
-    from maestro_tpu.ops.fused_loss import fused_reconstruction_loss
+    from maestro_tpu.train.steps import pretrain_loss_fn
 
     steps = []
     for model, plan, tpl in zip(models, plans, templates):
         mask = used_mask(union, tpl)
 
         def build(model=model, plan=plan, mask=mask):
-            def loss_fn(params, batch, rng):
-                rec, masks_, targets = model.apply(
-                    params, batch, "pretrain", False, rngs={"mask": rng},
-                )
-                return fused_reconstruction_loss(plan, targets, rec, masks_,
-                                                 loss_type)
+            loss_fn = pretrain_loss_fn(model, plan, loss_type)
 
             def step(state: TrainState, batch: dict, rng: jax.Array):
                 rng = jax.random.fold_in(rng, state.step)

@@ -61,12 +61,18 @@ def make_pretrain_step(
     )
 
 
-def _build_pretrain_step(model, plan, tx, loss_type, donate, fused_loss):
+def pretrain_loss_fn(model, plan, loss_type: str, fused_loss: bool = True):
+    """``loss_fn(params, batch, rng)`` for MAE pretraining.
+
+    ``fused_loss=True`` reconstructs in token space (no pixel grid ever
+    materialized) through the fused patch-group-norm kernel; the plain path
+    keeps the reference's pixel-space formulation for parity checks.
+    Shared by the single-step, multi-step and joint-pretraining builders.
+    """
     from maestro_tpu.ops.fused_loss import fused_reconstruction_loss
 
     def loss_fn(params, batch, rng):
         if fused_loss:
-            # token-space reconstruction: no pixel grid materialized
             rec, masks, targets = model.apply(
                 params, batch, "pretrain", False, rngs={"mask": rng},
             )
@@ -76,6 +82,12 @@ def _build_pretrain_step(model, plan, tx, loss_type, donate, fused_loss):
             params, batch, "pretrain", rngs={"mask": rng},
         )
         return reconstruction_loss(plan, targets, pixels, masks, loss_type)
+
+    return loss_fn
+
+
+def _build_pretrain_step(model, plan, tx, loss_type, donate, fused_loss):
+    loss_fn = pretrain_loss_fn(model, plan, loss_type, fused_loss)
 
     def step(state: TrainState, batch: dict, rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
@@ -114,19 +126,7 @@ def make_pretrain_multistep(
 
 
 def _build_pretrain_multistep(model, plan, tx, loss_type, donate, fused_loss):
-    from maestro_tpu.ops.fused_loss import fused_reconstruction_loss
-
-    def loss_fn(params, batch, rng):
-        if fused_loss:
-            rec, masks, targets = model.apply(
-                params, batch, "pretrain", False, rngs={"mask": rng},
-            )
-            return fused_reconstruction_loss(plan, targets, rec, masks,
-                                             loss_type)
-        pixels, masks, targets = model.apply(
-            params, batch, "pretrain", rngs={"mask": rng},
-        )
-        return reconstruction_loss(plan, targets, pixels, masks, loss_type)
+    loss_fn = pretrain_loss_fn(model, plan, loss_type, fused_loss)
 
     def multistep(state: TrainState, batch_stack: dict, rng: jax.Array):
         # identical rng derivation to the single-step path: fold the caller

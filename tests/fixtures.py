@@ -13,6 +13,23 @@ from PIL import Image
 
 TREESAT_SPECIES = [f"species_{i}" for i in range(15)]
 
+REPO_ROOT = Path(__file__).resolve().parent.parent
+
+
+def load_script(name: str):
+    """Import a scripts/<name>.py CLI module for in-process testing."""
+    import importlib.util
+    import sys
+
+    if str(REPO_ROOT) not in sys.path:
+        sys.path.insert(0, str(REPO_ROOT))
+    spec = importlib.util.spec_from_file_location(
+        f"{name}_cli", REPO_ROOT / "scripts" / f"{name}.py",
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
 
 def write_treesat_fixture(root: Path, num_tiles: int = 2, seed: int = 0) -> None:
     """TreeSatAI-TS: aerial 304x304 4-band tif + sentinel .h5 + split CSVs."""

@@ -1,24 +1,16 @@
 """Export CLI: config overrides -> StableHLO artifact + manifest -> serve."""
 
-import importlib.util
 import json
-import sys
 from pathlib import Path
 
 import jax
 import numpy as np
 
-REPO = Path(__file__).resolve().parent.parent
+from tests.fixtures import load_script
 
 
 def _load_cli():
-    sys.path.insert(0, str(REPO))
-    spec = importlib.util.spec_from_file_location(
-        "export_model_cli", REPO / "scripts" / "export_model.py",
-    )
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    return mod
+    return load_script("export_model")
 
 
 def test_export_cli_roundtrip(tmp_path, capsys):

@@ -66,8 +66,9 @@ def test_alias_dedupe_and_sharing(joint):
     # ONE union copy
     shared = shared_param_paths(templates)
     assert any("patch_embed_s2" in p for p in shared)
-    assert any("encoders_s2" in p or "encoder_inter" in str(shared) or True
-               for p in shared)  # encoders shared by stream name
+    # encoders + the inter trunk share by stream name
+    assert any(part.startswith("encoders_") for p in shared for part in p)
+    assert any(part == "encoder_inter" for p in shared for part in p)
     a = templates[0]["params"]["patch_embed_s2"]["proj0"]["kernel"]
     b = templates[1]["params"]["patch_embed_s2"]["proj0"]["kernel"]
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))

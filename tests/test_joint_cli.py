@@ -1,26 +1,14 @@
 """Joint-pretraining CLI over real fixture datasets + downstream warm-start."""
 
-import importlib.util
 import json
-import sys
-from pathlib import Path
 
 import numpy as np
-import pytest
 
-from tests.fixtures import write_pastis_fixture, write_treesat_fixture
-
-REPO = Path(__file__).resolve().parent.parent
-
-
-def _load_cli():
-    sys.path.insert(0, str(REPO))
-    spec = importlib.util.spec_from_file_location(
-        "joint_pretrain_cli", REPO / "scripts" / "joint_pretrain.py",
-    )
-    mod = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(mod)
-    return mod
+from tests.fixtures import (
+    load_script,
+    write_pastis_fixture,
+    write_treesat_fixture,
+)
 
 
 def test_joint_pretrain_cli_and_warm_start(tmp_path, capsys):
@@ -29,7 +17,7 @@ def test_joint_pretrain_cli_and_warm_start(tmp_path, capsys):
     write_treesat_fixture(root_a, num_tiles=2)
     write_pastis_fixture(root_b, num_tiles=1)
 
-    cli = _load_cli()
+    cli = load_script("joint_pretrain")
     out = tmp_path / "joint"
     cli.main([
         str(out),

@@ -61,22 +61,13 @@ def test_flair_tif_stack_matches_npy_mirror(tmp_path):
 def test_convert_dataset_cli(tmp_path):
     """scripts/convert_dataset.py writes [T, C, H, W] mirrors the loader
     prefers; converted reads match the direct-npy fixture bit-exactly."""
-    import importlib.util
-    import json
-    import sys
-    from pathlib import Path
+    from fixtures import load_script
 
-    repo = Path(__file__).resolve().parent.parent
     for kind, use_tif in (("npy", False), ("tif", True)):
         write_flair_fixture(tmp_path / kind, num_tiles=1, seed=0,
                             use_tif=use_tif)
 
-    sys.path.insert(0, str(repo))
-    spec = importlib.util.spec_from_file_location(
-        "convert_dataset_cli", repo / "scripts" / "convert_dataset.py",
-    )
-    cli = importlib.util.module_from_spec(spec)
-    spec.loader.exec_module(cli)
+    cli = load_script("convert_dataset")
     cli.main([
         "datasets.name_dataset=flair",
         f"datasets.root_dir={tmp_path / 'tif'}",
