@@ -104,6 +104,35 @@ def test_quant_embeddings_track_fp(setup):
         assert cos > 0.999, f"{name}: quantized embeddings diverged, {cos}"
 
 
+def test_quant_predict_sharded_matches_single(setup):
+    """int8 serving composes with the (data, model) mesh: TP splits the int8
+    kernels exactly like their fp counterparts (same tree paths), the
+    per-channel scales stay replicated, and logits match the single-device
+    quantized forward."""
+    from maestro_tpu.parallel.mesh import make_mesh, shard_batch, shard_params
+
+    model, batch, params = setup
+    qp = quantize_params(params)
+    fn = make_quant_predict_fn(model, "finetune")
+    single = fn(qp, batch)
+
+    mesh = make_mesh(4, 2)
+    sharded = fn(shard_params(mesh, qp), shard_batch(mesh, batch))
+    for name in single:
+        a = np.asarray(single[name], np.float64).ravel()
+        b = np.asarray(sharded[name], np.float64).ravel()
+        # XLA:CPU lowers int8 dots through f32 accumulation (integer
+        # exactness is borderline at 2^24), so partial-sum order differs
+        # between shardings; the fp path is bit-stable here (<5e-7) and on
+        # TPU the int8 dot is native int32-exact.  Assert closeness, not
+        # bit-equality.
+        cos = float((a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b)
+                                     + 1e-12))
+        assert cos > 0.9999, f"{name}: sharded int8 diverged, cos={cos}"
+        scale = float(np.abs(a).max()) + 1e-12
+        assert float(np.abs(a - b).max()) / scale < 0.01, name
+
+
 def test_quant_baseline_adapter_tracks_fp():
     """FM adapters quantize through the same interceptor (their attention
     blocks reuse the qkv/out/fc1/fc2/proj Dense names)."""
