@@ -5,7 +5,12 @@ Usage::
     python scripts/joint_pretrain.py OUT_DIR \
         --datasets=flair:/data/flair,s2_naip:/data/s2naip \
         model.model_size=medium model.fusion_mode=group model.inter_depth=3 \
-        opt_pretrain.epochs=20 opt_pretrain.batch_size=32 [group.field=value...]
+        opt_pretrain.epochs=20 opt_pretrain.batch_size=32 \
+        [--resume] [group.field=value...]
+
+``--resume`` restores the newest ``pretrain-epoch=N`` checkpoint under
+OUT_DIR/checkpoints (full state: params, optimizer moments, step) and
+continues at epoch N+1.
 
 Trains one union parameter tree on several datasets simultaneously
 (maestro_tpu.train.joint): per-dataset jitted steps alternate round-robin
@@ -29,6 +34,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 def main(argv: list[str]) -> None:
     out_dir = None
     pairs = None
+    resume = False
     overrides = []
     for arg in argv:
         if arg.startswith("--datasets="):
@@ -36,6 +42,8 @@ def main(argv: list[str]) -> None:
                 (p.split(":", 1) + [""])[:2]
                 for p in arg.split("=", 1)[1].split(",")
             ]
+        elif arg == "--resume":
+            resume = True
         elif "=" in arg:
             overrides.append(arg)
         elif out_dir is None:
@@ -95,6 +103,15 @@ def main(argv: list[str]) -> None:
     steps = make_joint_pretrain_steps(models, plans, tx, union, templates,
                                       loss_type=cfg.model.loss)
     state = TrainState.create(union, tx)
+    start_epoch = 0
+    if resume:
+        path = ckpt.find_latest_checkpoint(out_dir / "checkpoints", "pretrain")
+        if path is None:
+            msg = f"--resume: no pretrain-epoch=* checkpoint under {out_dir}"
+            raise SystemExit(msg)
+        state = ckpt.restore_state(path, state)
+        start_epoch = int(ckpt.load_meta(path).get("epoch", -1)) + 1
+        print(json.dumps({"resumed": str(path), "start_epoch": start_epoch}))
     n_shared = len(shared_param_paths(templates))
     print(json.dumps({
         "datasets": [d.name_dataset for d in jcfgs],
@@ -103,7 +120,7 @@ def main(argv: list[str]) -> None:
     }))
 
     rng = jax.random.PRNGKey(cfg.run.seed + 1)
-    for epoch in range(opt.epochs):
+    for epoch in range(start_epoch, opt.epochs):
         t0 = time.time()
         for ld in loaders:
             if hasattr(ld, "set_epoch"):

@@ -46,6 +46,27 @@ def test_joint_pretrain_cli_and_warm_start(tmp_path, capsys):
     path = find_latest_checkpoint(out / "checkpoints", "pretrain")
     assert path is not None
 
+    # --resume restores the full state and continues at the next epoch
+    cli.main([
+        str(out),
+        f"--datasets=treesatai_ts:{root_a},pastis_hd:{root_b}",
+        "datasets.treesatai_ts.rel_dir=", "datasets.pastis_hd.rel_dir=",
+        "datasets.treesatai_ts.aerial.image_size=40",
+        "datasets.treesatai_ts.aerial.patch_size.mae=8",
+        "datasets.pastis_hd.spot.image_size=32",
+        "datasets.pastis_hd.spot.patch_size.mae=4",
+        "model.model_size=micro", "model.fusion_mode=group",
+        "model.inter_depth=1",
+        "opt_pretrain.epochs=2", "opt_pretrain.batch_size=1",
+        "trainer.compute_dtype=float32", "data.num_workers=1", "--resume",
+    ])
+    lines2 = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
+    assert lines2[0]["start_epoch"] == 1
+    resumed_epochs = [l for l in lines2 if "epoch" in l]
+    assert [e["epoch"] for e in resumed_epochs] == [1]
+    path2 = find_latest_checkpoint(out / "checkpoints", "pretrain")
+    assert "epoch=1" in str(path2)
+
     # the joint checkpoint warm-starts a per-dataset probe (strict=False
     # merge drops the other dataset's modules, exactly like the reference's
     # sequential transfer)
