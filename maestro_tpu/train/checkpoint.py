@@ -21,6 +21,7 @@ from typing import Any
 import jax
 import numpy as np
 import orbax.checkpoint as ocp
+from jax.sharding import NamedSharding, PartitionSpec
 
 
 def save_checkpoint(
@@ -146,7 +147,14 @@ def load_meta(path: str | Path) -> dict[str, Any]:
 
 
 def restore_state(path: str | Path, state):
-    """Full restore into an existing TrainState template (fit_* resume)."""
+    """Full restore into an existing TrainState template (fit_* resume).
+
+    When the template is mesh-sharded, every restored leaf is re-placed on
+    its template sharding — and leaves whose template was uncommitted (the
+    step counter, optax scalar counts) are replicated over the params mesh.
+    Orbax otherwise restores those committed to one device, and a jitted
+    step then rejects the mixed device commitments.
+    """
     template = {
         "params": state.params,
         "opt_state": state.opt_state,
@@ -156,6 +164,23 @@ def restore_state(path: str | Path, state):
         template["ema_params"] = state.ema_params
     with ocp.StandardCheckpointer() as ckptr:
         restored = ckptr.restore(Path(path).absolute() / "state", template)
+
+    mesh = next(
+        (leaf.sharding.mesh for leaf in jax.tree.leaves(state.params)
+         if isinstance(getattr(leaf, "sharding", None), NamedSharding)),
+        None,
+    )
+    if mesh is not None and mesh.size > 1:
+        replicated = NamedSharding(mesh, PartitionSpec())
+
+        def _place(tmpl_leaf, leaf):
+            sharding = getattr(tmpl_leaf, "sharding", None)
+            target = (
+                sharding if isinstance(sharding, NamedSharding) else replicated
+            )
+            return jax.device_put(leaf, target)
+
+        restored = jax.tree.map(_place, template, restored)
     return state.replace(
         params=restored["params"],
         opt_state=restored["opt_state"],

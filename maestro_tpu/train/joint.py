@@ -44,24 +44,24 @@ from maestro_tpu.train.state import TrainState
 def dedupe_embed_aliases(datasets_cfgs: list, model: str = "mae") -> list:
     """Rewrite ``name_embed`` so only shape-compatible embedders share.
 
-    Returns deep copies; the inputs are untouched.
+    Aliases are canonical per (alias, signature): the first signature seen
+    keeps the bare alias, every other distinct signature gets a stable
+    ``{alias}__v{k}`` name shared by ALL datasets with that signature — so
+    sharing never depends on the order datasets are listed in.  Returns deep
+    copies; the inputs are untouched.
     """
     out = [copy.deepcopy(d) for d in datasets_cfgs]
-    sig_of: dict[str, tuple] = {}
+    # alias -> {signature: resolved name}
+    resolved: dict[str, dict[tuple, str]] = {}
     for dcfg in out:
-        renamed = False
         for name, mod in dcfg.dataset.inputs.items():
             alias = mod.name_embed or name
             sig = (tuple(mod.band_groups), mod.patch_size.for_model(model))
-            prev = sig_of.get(alias)
-            if prev is None:
-                sig_of[alias] = sig
-            elif prev != sig:
-                mod.name_embed = f"{alias}__{dcfg.name_dataset}"
-                sig_of[mod.name_embed] = sig
-                renamed = True
-        if renamed:
-            dcfg.dataset.__post_init__()  # re-derive any alias-driven state
+            sigs = resolved.setdefault(alias, {})
+            if sig not in sigs:
+                sigs[sig] = alias if not sigs else f"{alias}__v{len(sigs)}"
+            if sigs[sig] != alias:
+                mod.name_embed = sigs[sig]
     return out
 
 
@@ -74,6 +74,23 @@ def build_joint(
 ) -> tuple[list, list, list]:
     """(deduped dataset cfgs, models, plans) for joint pretraining."""
     cfgs = dedupe_embed_aliases(datasets_cfgs, model=model_cfg.model)
+    # mask tokens are keyed by modality NAME (mask_token_{name}, shape
+    # (1, len_bands, 1, 1, dec_dim)) and cannot be alias-renamed: same-named
+    # modalities must agree on band grouping across datasets
+    seen_bands: dict[str, tuple[int, str]] = {}
+    for dcfg in cfgs:
+        for name, mod in dcfg.dataset.inputs.items():
+            prev = seen_bands.get(name)
+            if prev is None:
+                seen_bands[name] = (mod.len_bands, dcfg.name_dataset)
+            elif prev[0] != mod.len_bands:
+                msg = (
+                    f"modality {name!r} has {prev[0]} band group(s) in "
+                    f"{prev[1]} but {mod.len_bands} in {dcfg.name_dataset}; "
+                    "its per-modality mask token cannot be shared — align "
+                    "the band grouping or rename the modality"
+                )
+                raise ValueError(msg)
     models, plans = [], []
     for dcfg in cfgs:
         m, p = build_model(dcfg, mask_cfg, model_cfg, dtype=dtype, remat=remat)
@@ -107,10 +124,15 @@ def _merge(a: dict, b: dict, path: tuple = ()) -> dict:
 
 
 def init_joint_params(models: list, batches: list, seed: int = 0):
-    """Union init.  The SAME root key is used for every model, and flax
-    derives per-param rngs from the tree path, so shared paths draw
-    IDENTICAL values in every template — the merge is conflict-free by
-    construction.  Returns (union_params, per-model templates)."""
+    """Union init: merge per-model templates by path (first template wins).
+
+    The same root key is used for every model, so module-scoped params at a
+    shared path draw identical values in every template.  Root-scope params
+    (the per-modality mask tokens) draw from a per-scope call counter whose
+    order differs across datasets, so their shared-path values CAN differ —
+    first-wins adoption is the defined semantics (they are then trained
+    jointly).  ``_merge`` asserts shape equality at every collision.
+    Returns (union_params, per-model templates)."""
     key = jax.random.PRNGKey(seed)
     union: dict | None = None
     templates = []

@@ -81,25 +81,52 @@ def main(argv: list[str]) -> None:
         datasets_list.append(datasets)
     cfg = cfgs[0]  # shared run/model/opt config
 
+    opt = cfg.opt_pretrain
+    if opt.accumulate_grad_batches > 1:
+        msg = "opt_pretrain.accumulate_grad_batches is not supported by the joint path"
+        raise SystemExit(msg)
+    # model.use_ema is ignored: EMA weights are a finetune-eval concept and
+    # pretrain checkpoints' EMA is never consumed downstream
+
+    from maestro_tpu.parallel.mesh import (
+        make_mesh,
+        num_batch_shards,
+        shard_batch,
+        shard_params,
+    )
+
+    mesh = make_mesh(cfg.trainer.mesh_data, cfg.trainer.mesh_model,
+                     cfg.trainer.mesh_replica)
     jcfgs, models, plans = build_joint(
         datasets_list, cfg.mask, cfg.model,
         dtype=jnp.bfloat16 if cfg.trainer.compute_dtype == "bfloat16"
         else jnp.float32,
         remat=cfg.trainer.remat,
     )
-    opt = cfg.opt_pretrain
+    global_batch = opt.batch_size * num_batch_shards(mesh)
     loaders = [
-        make_loader(dc, cfg.data, "train", "pretrain", opt.batch_size,
+        make_loader(dc, cfg.data, "train", "pretrain", global_batch,
                     seed=cfg.run.seed)[1]
         for dc in jcfgs
     ]
+    for dc, ld in zip(jcfgs, loaders):
+        if len(ld) == 0:
+            msg = (
+                f"dataset {dc.name_dataset} yields no batches at global "
+                f"batch size {global_batch}; lower opt_pretrain.batch_size"
+            )
+            raise SystemExit(msg)
     batches0 = [
-        {k: jnp.asarray(v) for k, v in next(iter(ld)).items()}
+        shard_batch(mesh, {k: jnp.asarray(v)
+                           for k, v in next(iter(ld)).items()})
         for ld in loaders
     ]
     union, templates = init_joint_params(models, batches0, seed=cfg.run.seed)
-    total_steps = sum(max(len(ld), 1) for ld in loaders) * opt.epochs
-    tx = make_optimizer(opt, "pretrain", total_steps, union)
+    union = shard_params(mesh, union, fsdp=cfg.trainer.fsdp)
+    total_steps = sum(len(ld) for ld in loaders) * opt.epochs
+    tx = make_optimizer(opt, "pretrain", total_steps, union,
+                        num_devices=num_batch_shards(mesh),
+                        skip_nonfinite=cfg.trainer.skip_nonfinite)
     steps = make_joint_pretrain_steps(models, plans, tx, union, templates,
                                       loss_type=cfg.model.loss)
     state = TrainState.create(union, tx)
@@ -135,7 +162,9 @@ def main(argv: list[str]) -> None:
                 except StopIteration:
                     active.remove(i)
                     continue
-                batch = {k: jnp.asarray(v) for k, v in np_batch.items()}
+                batch = shard_batch(
+                    mesh, {k: jnp.asarray(v) for k, v in np_batch.items()},
+                )
                 state, logs = steps[i](state, batch, rng)
                 losses[i].append(logs["loss_rec"])
         epoch_log = {

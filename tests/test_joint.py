@@ -60,8 +60,9 @@ def joint():
 def test_alias_dedupe_and_sharing(joint):
     cfgs, models, plans, batches, union, templates = joint
     # aerial embedders conflict (patch 8 vs 16) -> flair's alias is renamed
+    # to a signature-canonical name
     assert plans[0].mod_specs["aerial"].name_embed == "aerial"
-    assert plans[1].mod_specs["aerial"].name_embed == "aerial__flair"
+    assert plans[1].mod_specs["aerial"].name_embed == "aerial__v1"
     # s2/s1 embedders share (same bands + patch): identical init values and
     # ONE union copy
     shared = shared_param_paths(templates)
@@ -74,7 +75,40 @@ def test_alias_dedupe_and_sharing(joint):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     # the union holds both datasets' aerial embedders separately
     assert "patch_embed_aerial" in union["params"]
-    assert "patch_embed_aerial__flair" in union["params"]
+    assert "patch_embed_aerial__v1" in union["params"]
+
+
+def test_alias_dedupe_is_order_independent():
+    """Two later datasets with the SAME embed signature must share even when
+    an earlier dataset claimed the bare alias with a different signature."""
+    from maestro_tpu.train.joint import dedupe_embed_aliases
+
+    tre = _small_treesat()   # aerial patch 8
+    fla1 = _small_flair()    # aerial patch 16
+    fla2 = _small_flair()    # same signature as fla1
+    a, b, c = dedupe_embed_aliases([tre, fla1, fla2])
+    alias_b = b.dataset.inputs["aerial"].name_embed
+    alias_c = c.dataset.inputs["aerial"].name_embed
+    assert alias_b == alias_c == "aerial__v1"  # flair pair still shares
+    assert (a.dataset.inputs["aerial"].name_embed or "aerial") == "aerial"
+
+
+def test_mask_token_band_conflict_raises():
+    """Same-named modalities with different band groupings cannot share a
+    mask token: build_joint fails with a clear message, not a merge crash."""
+    from maestro_tpu.conf import MaskConfig, ModelConfig
+    from maestro_tpu.train.joint import build_joint
+
+    a = _small_treesat()
+    b = _small_treesat()
+    b.treesatai_ts.s2.bands = [[0, 1, 2, 3], [4, 5, 6], [7, 8, 9]]
+    b.treesatai_ts.__post_init__()
+    with pytest.raises(ValueError, match="band group"):
+        build_joint(
+            [a, b], MaskConfig(),
+            ModelConfig(model_size="micro", fusion_mode="group",
+                        inter_depth=1),
+        )
 
 
 def test_masked_updates_leave_other_dataset_untouched(joint):

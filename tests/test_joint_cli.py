@@ -31,6 +31,7 @@ def test_joint_pretrain_cli_and_warm_start(tmp_path, capsys):
         "model.inter_depth=1",
         "opt_pretrain.epochs=1", "opt_pretrain.batch_size=1",
         "trainer.compute_dtype=float32", "data.num_workers=1",
+        "trainer.mesh_data=2",  # exercise the sharded joint path (dp2)
     ])
     lines = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
     head, epochs = lines[0], lines[1:]
@@ -58,7 +59,8 @@ def test_joint_pretrain_cli_and_warm_start(tmp_path, capsys):
         "model.model_size=micro", "model.fusion_mode=group",
         "model.inter_depth=1",
         "opt_pretrain.epochs=2", "opt_pretrain.batch_size=1",
-        "trainer.compute_dtype=float32", "data.num_workers=1", "--resume",
+        "trainer.compute_dtype=float32", "data.num_workers=1",
+        "trainer.mesh_data=2", "--resume",
     ])
     lines2 = [json.loads(l) for l in capsys.readouterr().out.splitlines()]
     assert lines2[0]["start_epoch"] == 1

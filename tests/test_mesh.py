@@ -264,3 +264,12 @@ def test_checkpoint_elastic_across_mesh_shapes(setup, dp8, tmp_path):
         # restored leaves carry the *new* mesh's shardings
         leaf = jax.tree.leaves(restored.params)[0]
         assert leaf.sharding.mesh.shape == mesh.shape
+        # and the restored state must actually TRAIN on the new mesh: orbax
+        # restores template-less scalars (step, optax counts) committed to
+        # one device, which a jitted step over the partial mesh rejects
+        # unless restore_state re-replicates them
+        step = make_pretrain_step(model, plan, tx, donate=False)
+        trained, logs = step(restored, shard_batch(mesh, batch),
+                             jax.random.PRNGKey(0))
+        assert np.isfinite(float(logs["loss_rec"]))
+        assert int(trained.step) == int(restored.step) + 1
