@@ -1,0 +1,128 @@
+"""Ring attention: exact sequence-parallel attention + CP trunk forward.
+
+Context parallelism is SURVEY.md §5.7's stretch goal (beyond parity: the
+reference has no sequence scaling at all).  Exactness is the whole point —
+ring attention must compute the same softmax(QK^T)V as the dense kernel,
+and the CP trunk must match the model's own dense inter trunk bit-for-bit
+up to fp32 reassociation, forward AND gradients.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from maestro_tpu.ops.attention import mha_blhd
+from maestro_tpu.ops.ring_attention import cp_trunk_forward, ring_mha
+from maestro_tpu.parallel.mesh import make_mesh
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    return make_mesh(1, 8)  # sequence shards over the 8-way "model" axis
+
+
+def test_ring_mha_matches_dense(mesh8):
+    b, l, h, d = 2, 64, 4, 16
+    key = jax.random.PRNGKey(0)
+    q, k, v = (
+        jax.random.normal(jax.random.fold_in(key, i), (b, l, h, d),
+                          jnp.float32)
+        for i in range(3)
+    )
+    dense = mha_blhd(q, k, v, sm_scale=d**-0.5)
+
+    ring = jax.shard_map(
+        lambda q, k, v: ring_mha(q, k, v, "model", d**-0.5),
+        mesh=mesh8,
+        in_specs=(P(None, "model"), P(None, "model"), P(None, "model")),
+        out_specs=P(None, "model"),
+    )(q, k, v)
+    np.testing.assert_allclose(np.asarray(ring), np.asarray(dense),
+                               rtol=2e-5, atol=2e-6)
+
+
+def test_ring_mha_gradients_match(mesh8):
+    b, l, h, d = 1, 32, 2, 8
+    key = jax.random.PRNGKey(1)
+    q, k, v = (
+        jax.random.normal(jax.random.fold_in(key, i), (b, l, h, d),
+                          jnp.float32)
+        for i in range(3)
+    )
+    w = jax.random.normal(jax.random.fold_in(key, 9), (b, l, h, d))
+
+    def dense_loss(q, k, v):
+        return jnp.sum(mha_blhd(q, k, v, sm_scale=d**-0.5) * w)
+
+    ring_fn = jax.shard_map(
+        lambda q, k, v: ring_mha(q, k, v, "model", d**-0.5),
+        mesh=mesh8,
+        in_specs=(P(None, "model"), P(None, "model"), P(None, "model")),
+        out_specs=P(None, "model"),
+    )
+
+    def ring_loss(q, k, v):
+        return jnp.sum(ring_fn(q, k, v) * w)
+
+    g_dense = jax.grad(dense_loss, argnums=(0, 1, 2))(q, k, v)
+    g_ring = jax.grad(ring_loss, argnums=(0, 1, 2))(q, k, v)
+    for a, b_ in zip(g_dense, g_ring):
+        np.testing.assert_allclose(np.asarray(b_), np.asarray(a),
+                                   rtol=5e-5, atol=5e-6)
+
+
+def test_cp_trunk_matches_dense_trunk(mesh8):
+    """The sequence-parallel trunk, fed the model's OWN encoder_inter params,
+    reproduces the dense trunk forward and parameter gradients."""
+    from maestro_tpu.conf import DatasetsConfig, MaskConfig, ModelConfig
+    from maestro_tpu.models.mae import build_model
+    from maestro_tpu.utils.testing import make_synthetic_batch
+
+    ds = DatasetsConfig(name_dataset="treesatai_ts")
+    ds.treesatai_ts.aerial.image_size = 40
+    ds.treesatai_ts.aerial.patch_size.mae = 8
+    ds.treesatai_ts.__post_init__()
+    cfg = ModelConfig(model_size="micro", fusion_mode="group", inter_depth=2)
+    model, plan = build_model(ds, MaskConfig(), cfg, dtype=jnp.float32)
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in make_synthetic_batch(ds.dataset, 2).items()
+    }
+    key = jax.random.PRNGKey(0)
+    params = model.init({"params": key, "mask": key}, batch, "pretrain")
+    trunk = params["params"]["encoder_inter"]
+    arch = model.arch
+
+    l = 8 * 13  # any length divisible by the ring size
+    x = jax.random.normal(jax.random.fold_in(key, 5), (2, l, arch.embed_dim),
+                          jnp.float32)
+    dense = model.apply(
+        params, x, method=lambda m, x: m.encoder_inter(x),
+    )
+    cp = cp_trunk_forward(trunk, x, mesh8, arch.heads, arch.dim_head)
+    np.testing.assert_allclose(np.asarray(cp), np.asarray(dense),
+                               rtol=2e-5, atol=2e-5)
+
+    # parameter gradients agree: CP is a drop-in for training the trunk
+    w = jax.random.normal(jax.random.fold_in(key, 6), dense.shape)
+
+    def dense_loss(tp):
+        merged = {"params": {**params["params"], "encoder_inter": tp}}
+        out = model.apply(merged, x, method=lambda m, x: m.encoder_inter(x))
+        return jnp.sum(out * w)
+
+    def cp_loss(tp):
+        return jnp.sum(
+            cp_trunk_forward(tp, x, mesh8, arch.heads, arch.dim_head) * w,
+        )
+
+    g_dense = jax.grad(dense_loss)(trunk)
+    g_cp = jax.grad(cp_loss)(trunk)
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), rtol=1e-4, atol=1e-4,
+        ),
+        g_dense, g_cp,
+    )
