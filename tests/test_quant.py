@@ -104,6 +104,35 @@ def test_quant_embeddings_track_fp(setup):
         assert cos > 0.999, f"{name}: quantized embeddings diverged, {cos}"
 
 
+def test_quant_tracks_fp_in_bf16_serving_config():
+    """Production serves bf16 models; w8a8 must stay close there too."""
+    ds = DatasetsConfig(name_dataset="treesatai_ts")
+    ds.treesatai_ts.aerial.image_size = 60
+    ds.treesatai_ts.aerial.patch_size.mae = 4
+    ds.treesatai_ts.__post_init__()
+    model, _ = build_model(
+        ds, MaskConfig(),
+        ModelConfig(model_size="micro", fusion_mode="group", inter_depth=1),
+        dtype=jnp.bfloat16,
+    )
+    batch = {
+        k: jnp.asarray(v)
+        for k, v in make_synthetic_batch(ds.dataset, 4).items()
+    }
+    key = jax.random.PRNGKey(0)
+    params = model.init({"params": key, "mask": key}, batch, "finetune")
+    qp = quantize_params(params)
+    fp = make_predict_fn(model, "finetune")(params, batch)
+    qt = make_quant_predict_fn(model, "finetune")(qp, batch)
+    for name in fp:
+        a = np.asarray(fp[name], np.float64).ravel()
+        b = np.asarray(qt[name], np.float64).ravel()
+        cos = float((a * b).sum() / (np.linalg.norm(a) * np.linalg.norm(b)
+                                     + 1e-12))
+        # bf16 activations add their own noise on top of int8 rounding
+        assert cos > 0.995, f"{name}: bf16 quant diverged, cos={cos}"
+
+
 def test_quant_predict_sharded_matches_single(setup):
     """int8 serving composes with the (data, model) mesh: TP splits the int8
     kernels exactly like their fp counterparts (same tree paths), the
