@@ -28,14 +28,17 @@ PEAK_FLOPS = {
 
 import os
 
-BATCH_SIZE = int(os.environ.get("BENCH_BS", 48))
+PHASE = os.environ.get("BENCH_PHASE", "pretrain")  # pretrain|probe|finetune
+# finetune runs full-length streams: bs32 + remat=mlp is its measured v5e
+# ceiling (docs/PERFORMANCE.md); bs48 no-remat is the pretrain sweet spot
+_DEF_BS, _DEF_REMAT = (32, "mlp") if PHASE == "finetune" else (48, "false")
+BATCH_SIZE = int(os.environ.get("BENCH_BS", _DEF_BS))
 MODEL_SIZE = os.environ.get("BENCH_SIZE", "medium")  # tiny|small|medium|large
 _VIT_TAGS = {"tiny": "vitt", "small": "vits", "medium": "vitb", "large": "vitl"}
 VIT_TAG = _VIT_TAGS.get(MODEL_SIZE, MODEL_SIZE)
-REMAT = os.environ.get("BENCH_REMAT", "false")  # false|full|dots|mlp|gelu
+REMAT = os.environ.get("BENCH_REMAT", _DEF_REMAT)  # false|full|dots|mlp|gelu
 REMAT = False if REMAT.lower() == "false" else REMAT
 STEPS_PER_DISPATCH = int(os.environ.get("BENCH_SPD", 1))
-PHASE = os.environ.get("BENCH_PHASE", "pretrain")  # pretrain|probe|finetune
 DATASET = os.environ.get("BENCH_DATASET", "flair")  # flair|treesatai_ts|pastis_hd|s2_naip
 WARMUP_STEPS = 3
 BENCH_STEPS = 10

@@ -142,7 +142,7 @@ def summarize(logdir: str, n_steps: int) -> None:
 
     def bucket(name: str) -> str:
         n = name.lower()
-        if "attention" in n or "flash" in n or "mha" in n:
+        if "attention" in n or "flash" in n or "mha" in n or n.startswith("attn"):
             return "attention-kernels"
         if n.startswith("copy") or "copy" in n:
             return "copies"
