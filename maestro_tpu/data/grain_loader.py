@@ -66,6 +66,12 @@ class GrainBatchLoader:
             ds = ds[self.shard_index :: self.shard_count]
         if self.shuffle:
             ds = ds.shuffle(seed=self.seed + self._epoch)
+        if self.shard_count > 1:
+            # strided shards differ by up to one sample; under drop_remainder
+            # that can give hosts different batch counts and deadlock SPMD
+            # collectives at epoch end. Truncate every host to the uniform
+            # length (after the shuffle, so the dropped sample rotates).
+            ds = ds[: len(self.dataset) // self.shard_count]
         if self._auto_epoch:
             self._epoch += 1
         if self.skip_batches:

@@ -87,14 +87,32 @@ class EOBatchLoader:
         out: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            """Blocking put that gives up once the consumer is gone — a
+            producer parked in ``Queue.put`` on a full prefetch queue would
+            otherwise leak its thread (and the pool) on early break."""
+            while not stop.is_set():
+                try:
+                    out.put(item, timeout=0.2)
+                except queue.Full:
+                    continue
+                return True
+            return False
+
         def produce() -> None:
-            with ThreadPoolExecutor(self.num_workers) as pool:
-                for idxs in batches:
-                    if stop.is_set():
-                        return
-                    samples = list(pool.map(self.dataset.__getitem__, idxs))
-                    out.put(collate(samples))
-            out.put(None)
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for idxs in batches:
+                        if stop.is_set():
+                            return
+                        batch = collate(
+                            list(pool.map(self.dataset.__getitem__, idxs)),
+                        )
+                        if not put(batch):
+                            return
+                put(None)
+            except BaseException as exc:  # noqa: BLE001 - a decode error must
+                put(exc)  # reach the consumer, not hang it on out.get()
 
         worker = threading.Thread(target=produce, daemon=True)
         worker.start()
@@ -103,6 +121,8 @@ class EOBatchLoader:
                 batch = out.get()
                 if batch is None:
                     return
+                if isinstance(batch, BaseException):
+                    raise batch
                 yield batch
         finally:
             stop.set()

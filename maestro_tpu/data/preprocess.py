@@ -92,7 +92,10 @@ def read_raster(
     """Windowed read + band select + temporal binning -> ([D, C, h, w], [D, 3])."""
     suffix = Path(meta.path).suffix.lower()
     num_t = len(meta.dates)
-    use_mask = (mod.mask_threshold / 100.0) < 1.0
+    # the cloud mask is only consumed by temporal binning; when the raster
+    # already has exactly num_dates entries the binning (and masking) is
+    # skipped entirely, so reading the mask would be pure wasted IO
+    use_mask = (mod.mask_threshold / 100.0) < 1.0 and num_t != mod.num_dates
     mask = None
 
     if suffix in (".tif", ".png", ".jpg", ".jpeg"):

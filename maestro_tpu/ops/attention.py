@@ -304,6 +304,23 @@ def _pk_pad(x, pad):
     return jnp.pad(x, ((0, 0), (0, pad), (0, 0))) if pad else x
 
 
+def _pk_width(h: int, d: int) -> int:
+    """Lane-block width: a multiple of d that divides h*d, preferring the
+    smallest multiple of the 128 MXU lanes (full occupancy).
+
+    The choice must hold for the LOCAL shard shapes: under tensor-parallel
+    head sharding (custom_partitioning below keeps the h axis sharded) a
+    fixed max(d, 128) can stop dividing h*d — e.g. 12x64 heads split 4-way
+    leave 3x64=192 lanes, and a (b, 192//128=1) grid would silently never
+    write lanes 128-191.  Falling back to width=d is correct at reduced
+    lane occupancy."""
+    for m in range(1, h + 1):
+        w = m * d
+        if (h * d) % w == 0 and w % 128 == 0:
+            return w
+    return d
+
+
 def _pk_params():
     from jax.experimental.pallas import tpu as pltpu
 
@@ -320,7 +337,7 @@ def _pk_impl_local(q, k, v, sm_scale):
     b, l, h, d = q.shape
     pad = (-l) % _BLOCK
     lp = l + pad
-    width = max(d, 128)
+    width = _pk_width(h, d)
     spec = _pk_spec(lp, width)
     flat = lambda x: _pk_pad(x.reshape(b, l, h * d), pad)
     out = pl.pallas_call(
@@ -339,7 +356,7 @@ def _pk_bwd_local(do, q, k, v, sm_scale):
     b, l, h, d = q.shape
     pad = (-l) % _BLOCK
     lp = l + pad
-    width = max(d, 128)
+    width = _pk_width(h, d)
     spec = _pk_spec(lp, width)
     flat = lambda x: _pk_pad(x.reshape(b, l, h * d), pad)
     shape = jax.ShapeDtypeStruct((b, lp, h * d), q.dtype)

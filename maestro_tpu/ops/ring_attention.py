@@ -52,8 +52,7 @@ def ring_mha(
     m = pcast(jnp.full((b, h, lc), -jnp.inf, jnp.float32))
     l = pcast(jnp.zeros((b, h, lc), jnp.float32))
 
-    def body(_, carry):
-        o, m, l, kc, vc = carry
+    def accumulate(o, m, l, kc, vc):
         s = jnp.einsum(
             "bqhd,bkhd->bhqk", qf, kc.astype(jnp.float32),
         ) * sm_scale
@@ -63,11 +62,20 @@ def ring_mha(
         l = l * corr + p.sum(axis=-1)
         pv = jnp.einsum("bhqk,bkhd->bqhd", p, vc.astype(jnp.float32))
         o = o * corr.transpose(0, 2, 1)[..., None] + pv
+        return o, m_new, l
+
+    def body(_, carry):
+        o, m, l, kc, vc = carry
+        o, m, l = accumulate(o, m, l, kc, vc)
         kc = jax.lax.ppermute(kc, axis_name, perm)
         vc = jax.lax.ppermute(vc, axis_name, perm)
-        return o, m_new, l, kc, vc
+        return o, m, l, kc, vc
 
-    o, m, l, _, _ = jax.lax.fori_loop(0, n, body, (o, m, l, k, v))
+    # n-1 rotate-and-accumulate hops, then the last chunk folds in outside
+    # the loop — collectives in loop bodies are not DCE'd, so an n-iteration
+    # loop would pay one extra, unused full k/v ICI transfer per layer
+    o, m, l, kc, vc = jax.lax.fori_loop(0, n - 1, body, (o, m, l, k, v))
+    o, m, l = accumulate(o, m, l, kc, vc)
     out = o / l.transpose(0, 2, 1)[..., None]
     return out.astype(q.dtype)
 

@@ -146,6 +146,20 @@ def load_meta(path: str | Path) -> dict[str, Any]:
     return json.loads(meta.read_text())
 
 
+def checkpoint_epoch(path: str | Path) -> int | None:
+    """Epoch of a ``{phase}-epoch=N`` checkpoint directory.
+
+    Prefers meta.json, falling back to the directory name: meta is written
+    after the state commit, so a crash in that window must not make a resume
+    silently restart at epoch 0 on top of restored optimizer state.
+    """
+    meta = load_meta(path)
+    if "epoch" in meta:
+        return int(meta["epoch"])
+    m = re.search(r"-epoch=(\d+)$", Path(path).name)
+    return int(m.group(1)) if m else None
+
+
 def restore_state(path: str | Path, state):
     """Full restore into an existing TrainState template (fit_* resume).
 
@@ -202,19 +216,7 @@ def load_weights(path: str | Path, params, unmatched_out: list | None = None):
         saved_params = ckptr.restore(
             Path(path).absolute() / "state",
         )["params"]
-
-    flat_saved = _flatten(saved_params)
-    flat_new = _flatten(params)
-    merged = {}
-    for key, val in flat_new.items():
-        sv = flat_saved.get(key)
-        if sv is not None and np.shape(sv) == np.shape(val):
-            merged[key] = jax.numpy.asarray(sv, dtype=val.dtype)
-        else:
-            merged[key] = val
-            if unmatched_out is not None:
-                unmatched_out.append("/".join(map(str, key)))
-    return _unflatten(merged, params)
+    return _merge_matching(saved_params, params, unmatched_out)
 
 
 def load_ema_weights(path: str | Path, params,
@@ -229,7 +231,13 @@ def load_ema_weights(path: str | Path, params,
     ema = saved.get("ema_params")
     if ema is None:
         return None
-    flat_saved = _flatten(ema)
+    return _merge_matching(ema, params, unmatched_out)
+
+
+def _merge_matching(saved_tree, params, unmatched_out: list | None = None):
+    """Copy saved leaves onto a template where path AND shape agree; other
+    leaves keep the template's values (strict=False semantics)."""
+    flat_saved = _flatten(saved_tree)
     flat_new = _flatten(params)
     merged = {}
     for key, val in flat_new.items():

@@ -313,8 +313,8 @@ class Experiment:
         if resume_path:
             state = ckpt.restore_state(resume_path, state)
             meta = ckpt.load_meta(resume_path)
-            if "epoch" in meta:
-                done = int(meta["epoch"])
+            done = ckpt.checkpoint_epoch(resume_path)
+            if done is not None:
                 # a regular checkpoint marks a COMPLETED epoch -> continue at
                 # the next one; a preemption checkpoint is mid-epoch -> finish
                 # that epoch, fast-forwarding past the batches already trained
@@ -347,6 +347,7 @@ class Experiment:
 
         result = PhaseResult(phase, 0, -1, None)
         best_monitor, best_epoch, best_path, stale = -np.inf, -1, None, 0
+        warned_monitor = False
         viz_batch = (
             next(iter(val_loader))
             if val_loader is not None and cfg.run.logged_images_per_epoch > 0
@@ -424,6 +425,15 @@ class Experiment:
 
             # checkpoint + monitor
             score = _lookup_monitor(val_logs, monitor) if monitor else None
+            if monitor and val_logs and score is None and not warned_monitor:
+                # a typo'd monitor would otherwise silently disable early
+                # stopping and degrade test-on-best to test-on-last
+                warned_monitor = True
+                log.warning(
+                    "monitor %r matches no val metric (available: %s); every "
+                    "epoch counts as best and early stopping is inactive",
+                    monitor, sorted(_flat_metrics(val_logs)),
+                )
             path = self._save_ckpt(
                 phase, epoch, state, extra={"epoch": epoch, "phase": phase},
             )
@@ -440,10 +450,14 @@ class Experiment:
         result.best_epoch = best_epoch
         result.best_monitor = None if best_monitor == -np.inf else float(best_monitor)
         if val_loader is not None:
-            final_val, _ = self._run_eval_epoch(
-                phase, state, eval_step, val_loader, rng,
-            )
-            result.val_metrics = _flat_metrics(final_val)
+            if result.history:
+                # the last loop iteration already evaluated this exact state
+                result.val_metrics = _flat_metrics(val_logs)
+            else:  # resume-complete: no epochs ran, so no in-loop eval did
+                final_val, _ = self._run_eval_epoch(
+                    phase, state, eval_step, val_loader, rng,
+                )
+                result.val_metrics = _flat_metrics(final_val)
 
         # test on best checkpoint
         self._ckpt_barrier()  # epoch saves must be committed before restore

@@ -137,7 +137,8 @@ def main(argv: list[str]) -> None:
             msg = f"--resume: no pretrain-epoch=* checkpoint under {out_dir}"
             raise SystemExit(msg)
         state = ckpt.restore_state(path, state)
-        start_epoch = int(ckpt.load_meta(path).get("epoch", -1)) + 1
+        done = ckpt.checkpoint_epoch(path)  # dir-name fallback if meta lost
+        start_epoch = (done if done is not None else -1) + 1
         print(json.dumps({"resumed": str(path), "start_epoch": start_epoch}))
     n_shared = len(shared_param_paths(templates))
     print(json.dumps({

@@ -106,3 +106,56 @@ def test_packed_kernel_spmd_partitioning(monkeypatch):
     g_sh = jax.jit(jax.grad(loss, argnums=(0, 1, 2)))(qs, ks, vs)
     for a, b_ in zip(g_sh, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-3)
+
+
+def test_pk_width_divides_local_shards():
+    """Lane-block width must divide h*d for LOCAL (sharded) head counts."""
+    assert A._pk_width(4, 128) == 128
+    assert A._pk_width(12, 64) == 128
+    assert A._pk_width(16, 32) == 128
+    # 12x64 heads split 4-way: 3 local heads, 192 lanes — max(d,128) would
+    # leave lanes 128-191 unwritten (grid 192//128 == 1)
+    assert A._pk_width(3, 64) == 64
+    for h, d in [(3, 64), (1, 32), (5, 96), (12, 64), (4, 128)]:
+        w = A._pk_width(h, d)
+        assert (h * d) % w == 0
+        assert w % d == 0
+
+
+def test_packed_kernel_interpret_parity_odd_local_heads(monkeypatch):
+    """The 3x64 shape a 4-way tensor-parallel shard of ViT-B sees."""
+    monkeypatch.setattr(A, "INTERPRET", True)
+    b, l, h, d = 2, 130, 3, 64
+    q, k, v = (_rand((b, l, h, d), s) for s in range(3))
+    sm = d**-0.5
+    out = A.packed_single_block_attention(q, k, v, sm)
+    ref = _ref_blhd(q, k, v, sm)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+    gp = jax.grad(lambda q, k, v: jnp.sum(
+        A.packed_single_block_attention(q, k, v, sm) ** 2), argnums=(0, 1, 2),
+    )(q, k, v)
+    gr = jax.grad(lambda q, k, v: jnp.sum(
+        _ref_blhd(q, k, v, sm) ** 2), argnums=(0, 1, 2),
+    )(q, k, v)
+    for a, b_ in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-3)
+
+
+def test_packed_kernel_spmd_non_dividing_head_shard(monkeypatch):
+    """h*d not a lane multiple per shard: 12x64 heads over a 4-way model axis."""
+    monkeypatch.setattr(A, "INTERPRET", True)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from maestro_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(2, 4)
+    b, l, h, d = 4, 130, 12, 64
+    q, k, v = (_rand((b, l, h, d), s) for s in range(3))
+    sm = d**-0.5
+    ref = A.packed_single_block_attention(q, k, v, sm)
+    sh = NamedSharding(mesh, P("data", None, "model", None))
+    qs, ks, vs = (jax.device_put(x, sh) for x in (q, k, v))
+    out = jax.jit(
+        lambda q, k, v: A.packed_single_block_attention(q, k, v, sm),
+    )(qs, ks, vs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)

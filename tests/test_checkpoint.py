@@ -146,3 +146,18 @@ def test_load_weights_reports_unmatched(tmp_path):
     unmatched = []
     ckpt.load_weights(path, fresh.params, unmatched_out=unmatched)
     assert unmatched == ["params/head/kernel"]
+
+
+def test_checkpoint_epoch_falls_back_to_dirname(tmp_path):
+    """A crash between the state commit and the meta.json write must not make
+    a resume restart at epoch 0 (checkpoint_epoch parses the dir name)."""
+    state, _ = _state()
+    path = ckpt.save_checkpoint(tmp_path, "pretrain", 5, state,
+                                extra={"epoch": 5, "phase": "pretrain"})
+    assert ckpt.checkpoint_epoch(path) == 5  # meta present
+
+    (path / "meta.json").unlink()
+    assert ckpt.load_meta(path) == {}
+    assert ckpt.checkpoint_epoch(path) == 5  # dir-name fallback
+
+    assert ckpt.checkpoint_epoch(tmp_path / "not-a-checkpoint") is None

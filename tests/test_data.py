@@ -1,6 +1,8 @@
 """Data pipeline tests on synthetic on-disk fixtures (reference test_data.py
 pattern: iterate real reads through binning/transform, check shapes)."""
 
+import time
+
 import numpy as np
 import pytest
 
@@ -158,3 +160,45 @@ def test_make_loader_end_to_end(treesat_root, datasets_treesat):
     for batch in loader:
         assert batch["s2"].shape == (2, 16, 10, 6, 6)
         break
+
+
+class _ExplodingDataset:
+    def __len__(self):
+        return 8
+
+    def __getitem__(self, idx):
+        if idx == 3:
+            msg = "corrupt raster"
+            raise OSError(msg)
+        return {"x": np.full((2,), idx, np.float32)}
+
+
+def test_loader_surfaces_worker_exception():
+    """A decode error must raise in the consumer, not hang it on get()."""
+    loader = EOBatchLoader(_ExplodingDataset(), batch_size=4, shuffle=False,
+                           num_workers=2, seed=0)
+    with pytest.raises(OSError, match="corrupt raster"):
+        list(loader)
+
+
+def test_loader_early_break_does_not_leak_producer():
+    """Breaking mid-epoch must unblock a producer parked on the full queue."""
+    import threading
+
+    class _Slow:
+        def __len__(self):
+            return 64
+
+        def __getitem__(self, idx):
+            return {"x": np.zeros((4,), np.float32)}
+
+    before = threading.active_count()
+    for _ in range(5):
+        loader = EOBatchLoader(_Slow(), batch_size=2, shuffle=False,
+                               num_workers=2, prefetch=1, seed=0)
+        for _batch in loader:
+            break  # early exit with the prefetch queue full
+    deadline = time.time() + 10
+    while threading.active_count() > before + 2 and time.time() < deadline:
+        time.sleep(0.05)
+    assert threading.active_count() <= before + 2

@@ -60,3 +60,18 @@ def test_grain_set_epoch_and_skip(treesat_root, datasets_treesat):
     )
     # skip consumed; epoch stays pinned -> same full order again
     assert len(list(b)) == len(batches_a)
+
+
+def test_grain_shards_yield_uniform_batch_counts():
+    """Strided shards differ by up to one sample; every host must still see
+    the same number of batches or SPMD collectives deadlock at epoch end."""
+    data = [{"x": np.full((2,), i, np.float32)} for i in range(5)]
+    counts = []
+    for idx in range(2):
+        loader = GrainBatchLoader(data, batch_size=1, num_workers=0,
+                                  shard_index=idx, shard_count=2,
+                                  shuffle=False)
+        batches = list(loader)
+        counts.append(len(batches))
+        assert len(batches) == len(loader)
+    assert counts[0] == counts[1] == 2
