@@ -105,8 +105,11 @@ class DataConfig:
     num_workers: int = 12
     prefetch: int = 4
     # "threads" = in-process pool (GIL released in h5py/rasterio reads);
-    # "grain" = multiprocess grain pipeline for decode-bound datasets
-    loader: str = "threads"
+    # "grain" = multiprocess grain pipeline for decode-bound datasets;
+    # "auto" = grain when the host has too few cores for the thread pool to
+    # scale (measured: 16.8 samples/s threads vs 352.9 grain on a 1-core
+    # host, docs/PERFORMANCE.md), threads otherwise
+    loader: str = "auto"
 
 
 @dataclass

@@ -9,6 +9,7 @@ All splits iterate shuffled with drop_last (reference data.py:38-44).
 
 from __future__ import annotations
 
+import os
 import queue
 import threading
 from concurrent.futures import ThreadPoolExecutor
@@ -128,6 +129,29 @@ class EOBatchLoader:
             stop.set()
 
 
+def resolve_loader(data_cfg) -> str:
+    """Resolve ``data_cfg.loader``; "auto" picks what can feed the chip.
+
+    The thread pool is GIL-bound on decode-heavy pipelines: on a 1-core host
+    it peaks at ~17 samples/s vs ~353 for the grain multiprocess pipeline,
+    while the device consumes ~226 (docs/PERFORMANCE.md "Input pipeline").
+    Real TPU hosts have enough cores for threads to scale, so "auto" selects
+    grain only when the host is core-starved relative to the configured
+    worker count — and only for production-sized pools (small test pools keep
+    the cheap in-process loader).  Falls back to threads if grain is absent.
+    """
+    if data_cfg.loader != "auto":
+        return data_cfg.loader
+    cores = os.cpu_count() or 1
+    if data_cfg.num_workers >= 4 and cores < 2 * data_cfg.num_workers:
+        try:
+            import grain  # noqa: F401
+        except ImportError:
+            return "threads"
+        return "grain"
+    return "threads"
+
+
 def make_loader(
     datasets_cfg,
     data_cfg,
@@ -143,8 +167,9 @@ def make_loader(
     ``batch_size`` is the per-process batch; multi-host runs shard the sample
     order by (shard_index, shard_count) so every host reads a disjoint slice
     (reference: Lightning's DistributedSampler under num_nodes>1).
-    ``data_cfg.loader`` selects the thread pool ("threads") or the grain
-    multiprocess pipeline ("grain") for decode-bound datasets.
+    ``data_cfg.loader`` selects the thread pool ("threads"), the grain
+    multiprocess pipeline ("grain") for decode-bound datasets, or "auto"
+    (see ``resolve_loader``).
     """
     from maestro_tpu.data.datasets import DATASET_CLASSES
 
@@ -164,7 +189,7 @@ def make_loader(
         ssl_phase=ssl_phase,
         seed=seed,
     )
-    if data_cfg.loader == "grain":
+    if resolve_loader(data_cfg) == "grain":
         from maestro_tpu.data.grain_loader import GrainBatchLoader
 
         loader = GrainBatchLoader(

@@ -23,8 +23,11 @@ Sharing rules:
 * per-dataset updates are masked to the leaves that dataset's model owns:
   torch AdamW skips grad-less params, and without the mask optax's weight
   decay would shrink the other datasets' modules on every alternate step.
-  (Adam moments of unused leaves still decay while a dataset is idle — a
-  mild, documented deviation; the parameters themselves are untouched.)
+  The optimizer state of idle leaves is frozen the same way
+  (``mask_opt_state``): a dataset's Adam moments neither decay nor update
+  while another dataset is training, exactly as if each dataset held its
+  own optimizer for its private subtree while sharing moments on the
+  shared core.
 """
 
 from __future__ import annotations
@@ -155,6 +158,38 @@ def used_mask(union, template):
     )
 
 
+def _string_path(path) -> tuple:
+    return tuple(str(getattr(k, "key", getattr(k, "name", k))) for k in path)
+
+
+def mask_opt_state(new_state, old_state, mask):
+    """Freeze idle leaves' optimizer state across another dataset's step.
+
+    ``mask`` is a params-shaped bool pytree (``used_mask``).  Optimizer-state
+    leaves (Adam ``mu``/``nu``, weight-decay traces, ...) embed the params
+    tree at some path prefix, so each opt-state leaf is matched to its param
+    by the longest string-path suffix found in the mask; leaves with no
+    param counterpart (step ``count``, schedule state) always take the new
+    value.  Without this, idle datasets' Adam moments decay toward zero on
+    every alternate step (mu <- b1*mu with zero grads), so a dataset resuming
+    after a long idle stretch would take near-SGD steps on its private
+    subtree.
+    """
+    flat_mask = {
+        _string_path(p): m
+        for p, m in jax.tree_util.tree_flatten_with_path(mask)[0]
+    }
+    def pick(path, new_leaf, old_leaf):
+        sp = _string_path(path)
+        for i in range(len(sp)):
+            owned = flat_mask.get(sp[i:])
+            if owned is not None:
+                return new_leaf if owned else old_leaf
+        return new_leaf
+
+    return jax.tree_util.tree_map_with_path(pick, new_state, old_state)
+
+
 def make_joint_pretrain_steps(
     models: list,
     plans: list,
@@ -185,6 +220,7 @@ def make_joint_pretrain_steps(
                 updates = jax.tree_util.tree_map(
                     lambda u, m: u if m else jnp.zeros_like(u), updates, mask,
                 )
+                opt_state = mask_opt_state(opt_state, state.opt_state, mask)
                 params = optax.apply_updates(state.params, updates)
                 return state.replace(
                     step=state.step + 1, params=params, opt_state=opt_state,

@@ -86,4 +86,12 @@ def opt_finetune() -> OptFinetuneConfig:
 if os.environ.get("MAESTRO_TEST_NO_COMPILE_CACHE", "0").lower() not in (
     "1", "true", "yes",
 ):
-    jax.config.update("jax_compilation_cache_dir", "/tmp/maestro_tpu_jax_cache")
+    # user-scoped default (not world-writable /tmp); MAESTRO_JAX_CACHE_DIR
+    # overrides — same resolution as __graft_entry__.dryrun_multichip
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get(
+            "MAESTRO_JAX_CACHE_DIR",
+            os.path.expanduser("~/.cache/maestro_tpu_jax"),
+        ),
+    )

@@ -145,6 +145,57 @@ def test_masked_updates_leave_other_dataset_untouched(joint):
     assert changed > 0, "treesat step changed nothing"
 
 
+def test_idle_dataset_opt_state_is_frozen(joint):
+    """Adam moments of leaves a dataset does NOT own must be bit-identical
+    across the other dataset's steps (no mu <- b1*mu decay while idle), and
+    the stepping dataset's own moments must move.  Freezing semantics =
+    per-dataset optimizers on private subtrees, shared moments on the core.
+    """
+    cfgs, models, plans, batches, union, templates = joint
+    opt = OptPretrainConfig(batch_size=2, base_lr=1e-3)
+    tx = make_optimizer(opt, "pretrain", total_steps=10, params=union)
+    steps = make_joint_pretrain_steps(models, plans, tx, union, templates)
+    state = TrainState.create(union, tx)
+    rng = jax.random.PRNGKey(3)
+
+    # one flair step seeds flair-only moments with nonzero values, then two
+    # treesat steps run while flair is idle
+    state1, _ = steps[1](state, batches[1], rng)
+    state2, _ = steps[0](state1, batches[0], rng)
+    state2, _ = steps[0](state2, batches[0], rng)
+
+    def strpath(p):
+        return tuple(str(getattr(k, "key", getattr(k, "name", k))) for k in p)
+
+    maskt = {strpath(p): v for p, v in
+             jax.tree_util.tree_flatten_with_path(
+                 used_mask(union, templates[0]))[0]}
+    before = jax.tree_util.tree_flatten_with_path(state1.opt_state)[0]
+    after = {p: v for p, v in
+             jax.tree_util.tree_flatten_with_path(state2.opt_state)[0]}
+
+    def param_suffix(sp):
+        for i in range(len(sp)):
+            if sp[i:] in maskt:
+                return sp[i:]
+        return None
+
+    frozen = moved = 0
+    for p, v in before:
+        sp = strpath(p)
+        owner = param_suffix(sp)
+        if owner is None:
+            continue  # count / schedule state
+        if not maskt[owner]:  # flair-only opt-state leaf
+            np.testing.assert_array_equal(np.asarray(v), np.asarray(after[p]))
+            if np.any(np.asarray(v) != 0):
+                frozen += 1
+        elif not np.array_equal(np.asarray(v), np.asarray(after[p])):
+            moved += 1
+    assert frozen > 0, "no nonzero flair-only optimizer state found"
+    assert moved > 0, "treesat steps never moved treesat optimizer state"
+
+
 def test_joint_training_decreases_both_losses(joint):
     cfgs, models, plans, batches, union, templates = joint
     opt = OptPretrainConfig(batch_size=2, base_lr=3e-3)
