@@ -84,8 +84,10 @@ class ChunkedSegHead(nn.Module):
             self.reduce = AttentiveReduce(
                 self.dim, heads=self.heads, dtype=self.dtype, name="reduce",
             )
+        # proj runs in the compute dtype (bf16 on TPU, like the reference's
+        # 16-mixed autocast); fp32 params, logits cast fp32 by the loss
         self.proj = nn.Dense(
-            self.num_classes * self.patch_size**2, dtype=jnp.float32,
+            self.num_classes * self.patch_size**2, dtype=self.dtype,
             name="proj",
         )
 
@@ -110,11 +112,12 @@ class ChunkedSegHead(nn.Module):
         x_ref = jnp.concatenate(parts, axis=1)  # [B, DG_tot, r*G, E]
         b, d, l, c = x_ref.shape
         if self.type_head == "attentive":
-            y = x_ref.transpose(0, 2, 1, 3).reshape(b * l, d, c)
-            y = self.reduce(y).reshape(b, l, self.dim)
+            # layout-native rank-4 reduce over the date axis — no
+            # [B,D,L,C] <-> [B*L,D,C] transposes inside the remat'd chunk
+            y = self.reduce(x_ref)  # [B, r*G, dim]
         else:
             y = jnp.mean(x_ref, axis=1)
-        y = self.proj(y.astype(jnp.float32))  # [B, r*G, K*p^2]
+        y = self.proj(y)  # [B, r*G, K*p^2]
         # pixel-shuffle inside the chunk: a whole-grid unpatchify transpose
         # has (p, p) minor dims that lane-pad 8x on TPU (a 1.9 GB temp at
         # FLAIR scale); per chunk it stays bounded. Feature order (C, ph, pw)
@@ -175,13 +178,13 @@ class PixelifyHead(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, d, l, c = x.shape
         if self.type_head == "attentive":
-            y = x.transpose(0, 2, 1, 3).reshape(b * l, d, c)
             reduce = AttentiveReduce(
                 self.dim, heads=self.heads, dtype=self.dtype, name="reduce",
             )
-            rows = b * l
-            n = max(1, -(-rows * d * c * 4 // self._CHUNK_BYTES))
-            while n < rows and rows % n:
+            # layout-native rank-4 reduce over the date axis; position-axis
+            # chunks are scanned so the fp32 LN upcast stays bounded
+            n = max(1, -(-b * l * d * c * 4 // self._CHUNK_BYTES))
+            while n < l and l % n:
                 n += 1
             if n > 1:
                 def body(mdl, carry, xs):
@@ -191,11 +194,11 @@ class PixelifyHead(nn.Module):
                     body, variable_broadcast="params",
                     split_rngs={"params": False},
                 )
-                _, y = scan(reduce, None, y.reshape(n, rows // n, d, c))
-                y = y.reshape(rows, self.dim)
+                xs = jnp.moveaxis(x.reshape(b, d, n, l // n, c), 2, 0)
+                _, y = scan(reduce, None, xs)  # [n, B, l/n, dim]
+                y = jnp.moveaxis(y, 0, 1).reshape(b, 1, l, self.dim)
             else:
-                y = reduce(y)
-            y = y.reshape(b, 1, l, self.dim)
+                y = reduce(x).reshape(b, 1, l, self.dim)
         else:
             y = jnp.mean(x, axis=1, keepdims=True)
         y = nn.Dense(

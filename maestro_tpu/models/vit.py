@@ -156,7 +156,15 @@ class AttentiveReduce(nn.Module):
     """Single-learned-query multi-head attention pooling.
 
     Reference: /root/reference/maestro/layers/head.py:28-63.
-    [B, L, C] -> [B, C].
+    [B, L, C] -> [B, C], or [B, D, L, C] -> [B, L, C] (reduce axis 1).
+
+    The rank-4 form is layout-native for the segmentation head: the caller's
+    [B, dates, positions, C] tensor is pooled over the date axis in place —
+    no [B, D, L, C] -> [B*L, D, C] transpose before and no un-transpose
+    after.  Those copies (plus their recompute under the head's remat) were
+    ~1/3 of the r2 finetune segmentation-head time.  All contractions keep
+    the position axis minor-adjacent so XLA lowers them as reductions over
+    the sublane (date) axis with no layout changes.
     """
 
     dim: int
@@ -165,23 +173,26 @@ class AttentiveReduce(nn.Module):
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        squeeze = x.ndim == 3
+        if squeeze:  # [B, D, C] == [B, D, 1, C] pooled over D
+            x = x[:, :, None, :]
+        b, d, l, _ = x.shape
+        dh = self.dim // self.heads
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         kv = nn.Dense(self.dim * 2, use_bias=False, dtype=self.dtype, name="to_kv")(y)
         k, v = jnp.split(kv, 2, axis=-1)
+        k = k.reshape(b, d, l, self.heads, dh)
+        v = v.reshape(b, d, l, self.heads, dh)
 
-        b, l, _ = x.shape
-        dh = self.dim // self.heads
         query = self.param(
             "query", nn.initializers.normal(1.0), (self.dim,), jnp.float32,
         )
-        q = query.reshape(1, self.heads, 1, dh).astype(self.dtype)
-        k = k.reshape(b, l, self.heads, dh).transpose(0, 2, 1, 3)
-        v = v.reshape(b, l, self.heads, dh).transpose(0, 2, 1, 3)
-
+        q = query.reshape(self.heads, dh).astype(self.dtype)
         logits = jnp.einsum(
-            "xhqd,bhkd->bhqk", q, k, preferred_element_type=jnp.float32,
+            "he,bdlhe->bdlh", q, k, preferred_element_type=jnp.float32,
         ) * dh**-0.5
-        attn = jax.nn.softmax(logits, axis=-1).astype(self.dtype)
-        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
-        out = out.transpose(0, 2, 1, 3).reshape(b, self.dim)
-        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_fc")(out)
+        attn = jax.nn.softmax(logits, axis=1).astype(self.dtype)
+        out = jnp.einsum("bdlh,bdlhe->blhe", attn, v)
+        out = out.reshape(b, l, self.dim)
+        out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_fc")(out)
+        return out[:, 0] if squeeze else out

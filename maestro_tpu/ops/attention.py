@@ -43,6 +43,8 @@ def mha_blhd(
     packable = (h * d) % 128 == 0 and (d % 128 == 0 or 128 % d == 0)
     if on_tpu and packable and SINGLE_BLOCK_MIN_SEQ <= l < FLASH_MIN_SEQ:
         return packed_single_block_attention(q, k, v, sm_scale)
+    if on_tpu and packable and l >= FLASH_MIN_SEQ:
+        return packed_qblock_attention(q, k, v, sm_scale)
     if on_tpu and l >= FLASH_MIN_SEQ:
         t = lambda x: x.transpose(0, 2, 1, 3)
         return t(mha(t(q), t(k), t(v), sm_scale))
@@ -446,3 +448,176 @@ def _pk_bwd(sm_scale, res, do):
 
 
 packed_single_block_attention.defvjp(_pk_fwd, _pk_bwd)
+
+
+# --------------------------------------------------------------------------
+# q-blocked head-packed attention for long sequences (>= FLASH_MIN_SEQ).
+# Extends the zero-transpose [B, L, H*D] layout to the tier that previously
+# transposed into the stock flash kernel: with a 128-lane head block, the
+# ENTIRE k/v of one (batch, lane-block) is < 1 MB even at 1920 tokens, so
+# k/v stay VMEM-resident while q is streamed in row blocks and the [QB, L]
+# score tile gets an exact (single-pass, not online) softmax.  The q-block
+# grid axis is innermost and the k/v BlockSpecs are constant along it, so
+# Mosaic revisits the same VMEM block without re-fetching from HBM.
+# --------------------------------------------------------------------------
+def _qb_block(lp: int) -> int:
+    """Largest multiple-of-128 divisor of lp that is <= 512."""
+    for qb in (512, 384, 256, 128):
+        if lp % qb == 0:
+            return qb
+    return 128
+
+
+def _qb_fwd_kernel(q_ref, k_ref, v_ref, o_ref, *, sm_scale, valid_len, dh):
+    for h in range(q_ref.shape[-1] // dh):
+        sl = slice(h * dh, (h + 1) * dh)
+        q = q_ref[0, :, sl].astype(jnp.float32)  # [QB, dh]
+        k = k_ref[0, :, sl].astype(jnp.float32)  # [Lp, dh]
+        v = v_ref[0, :, sl]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        ) * sm_scale
+        lp = k.shape[0]
+        if valid_len < lp:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < valid_len, s, -1e30)
+        p = jax.nn.softmax(s, axis=-1)
+        o_ref[0, :, sl] = jax.lax.dot(
+            p.astype(v.dtype), v, preferred_element_type=jnp.float32,
+        ).astype(o_ref.dtype)
+
+
+def _qb_bwd_kernel(q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                   dk_acc, dv_acc, *, sm_scale, valid_len, dh):
+    qi = pl.program_id(2)
+    n_q = pl.num_programs(2)
+
+    @pl.when(qi == 0)
+    def _():
+        dk_acc[:] = jnp.zeros_like(dk_acc)
+        dv_acc[:] = jnp.zeros_like(dv_acc)
+
+    for h in range(q_ref.shape[-1] // dh):
+        sl = slice(h * dh, (h + 1) * dh)
+        q = q_ref[0, :, sl].astype(jnp.float32)   # [QB, dh]
+        k = k_ref[0, :, sl].astype(jnp.float32)   # [Lp, dh]
+        v = v_ref[0, :, sl].astype(jnp.float32)
+        do = do_ref[0, :, sl].astype(jnp.float32)
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        ) * sm_scale
+        lp = k.shape[0]
+        if valid_len < lp:
+            col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(col < valid_len, s, -1e30)
+        p = jax.nn.softmax(s, axis=-1)            # [QB, Lp]
+        dp = jax.lax.dot_general(
+            do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dq_ref[0, :, sl] = (sm_scale * jax.lax.dot(
+            ds, k, preferred_element_type=jnp.float32,
+        )).astype(dq_ref.dtype)
+        dk_acc[:, sl] += sm_scale * jax.lax.dot_general(
+            ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        dv_acc[:, sl] += jax.lax.dot_general(
+            p, do, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+
+    @pl.when(qi == n_q - 1)
+    def _():
+        dk_ref[0] = dk_acc[:].astype(dk_ref.dtype)
+        dv_ref[0] = dv_acc[:].astype(dv_ref.dtype)
+
+
+def _qb_params():
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.CompilerParams(
+        dimension_semantics=("parallel", "parallel", "arbitrary"),
+    )
+
+
+def _qb_impl_local(q, k, v, sm_scale):
+    b, l, h, d = q.shape
+    pad = (-l) % _BLOCK
+    lp = l + pad
+    qb = _qb_block(lp)
+    width = _pk_width(h, d)
+    flat = lambda x: _pk_pad(x.reshape(b, l, h * d), pad)
+    q_spec = pl.BlockSpec((1, qb, width), lambda b_, j, i: (b_, i, j))
+    kv_spec = pl.BlockSpec((1, lp, width), lambda b_, j, i: (b_, 0, j))
+    out = pl.pallas_call(
+        partial(_qb_fwd_kernel, sm_scale=sm_scale, valid_len=l, dh=d),
+        grid=(b, h * d // width, lp // qb),
+        in_specs=[q_spec, kv_spec, kv_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((b, lp, h * d), q.dtype),
+        compiler_params=_qb_params(),
+        interpret=INTERPRET,
+    )(flat(q), flat(k), flat(v))
+    return out[:, :l].reshape(b, l, h, d)
+
+
+def _qb_bwd_local(do, q, k, v, sm_scale):
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, l, h, d = q.shape
+    pad = (-l) % _BLOCK
+    lp = l + pad
+    qb = _qb_block(lp)
+    width = _pk_width(h, d)
+    flat = lambda x: _pk_pad(x.reshape(b, l, h * d), pad)
+    q_spec = pl.BlockSpec((1, qb, width), lambda b_, j, i: (b_, i, j))
+    kv_spec = pl.BlockSpec((1, lp, width), lambda b_, j, i: (b_, 0, j))
+    shape = jax.ShapeDtypeStruct((b, lp, h * d), q.dtype)
+    dq, dk, dv = pl.pallas_call(
+        partial(_qb_bwd_kernel, sm_scale=sm_scale, valid_len=l, dh=d),
+        grid=(b, h * d // width, lp // qb),
+        in_specs=[q_spec, kv_spec, kv_spec, q_spec],
+        out_specs=[q_spec, kv_spec, kv_spec],
+        out_shape=[shape, shape, shape],
+        scratch_shapes=[
+            pltpu.VMEM((lp, width), jnp.float32),
+            pltpu.VMEM((lp, width), jnp.float32),
+        ],
+        compiler_params=_qb_params(),
+        interpret=INTERPRET,
+    )(flat(q), flat(k), flat(v), flat(do))
+    unpad = lambda x: x[:, :l].reshape(b, l, h, d)
+    return unpad(dq), unpad(dk), unpad(dv)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3,))
+def packed_qblock_attention(q, k, v, sm_scale):
+    """[B, L, H, D] long-sequence attention; k/v VMEM-resident, q-blocked."""
+    return _qb_impl(q, k, v, sm_scale)
+
+
+def _qb_impl(q, k, v, sm_scale):
+    fwd, _ = _get_qb_spmd()
+    return fwd(q, k, v, sm_scale)
+
+
+_QB_SPMD_CACHE: dict[str, object] = {}
+
+
+def _get_qb_spmd():
+    if not _QB_SPMD_CACHE:
+        _QB_SPMD_CACHE["fwd"] = _spmd(1, 3, _qb_impl_local)
+        _QB_SPMD_CACHE["bwd"] = _spmd(3, 4, _qb_bwd_local)
+    return _QB_SPMD_CACHE["fwd"], _QB_SPMD_CACHE["bwd"]
+
+
+def _qb_fwd(q, k, v, sm_scale):
+    return _qb_impl(q, k, v, sm_scale), (q, k, v)
+
+
+def _qb_bwd(sm_scale, res, do):
+    q, k, v = res
+    _, bwd = _get_qb_spmd()
+    return bwd(do, q, k, v, sm_scale)
+
+
+packed_qblock_attention.defvjp(_qb_fwd, _qb_bwd)

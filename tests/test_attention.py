@@ -62,6 +62,34 @@ def test_packed_kernel_interpret_parity(monkeypatch, l, h, d):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-3)
 
 
+@pytest.mark.parametrize(
+    ("l", "h", "d"),
+    [(1880, 4, 128), (1600, 16, 32), (1536, 6, 128)],
+    ids=["flair-decoder", "d32-pack4", "exact-1536"],
+)
+def test_qblock_kernel_interpret_parity(monkeypatch, l, h, d):
+    """Long-sequence tier: q-blocked, k/v-resident, zero-transpose layout.
+
+    1880 = the FLAIR group-mode decoder / supervised trunk length (the tier
+    that previously transposed into the stock flash kernel)."""
+    monkeypatch.setattr(A, "INTERPRET", True)
+    b = 1
+    q, k, v = (_rand((b, l, h, d), s) for s in range(3))
+    sm = d**-0.5
+    out = A.packed_qblock_attention(q, k, v, sm)
+    ref = _ref_blhd(q, k, v, sm)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
+
+    gp = jax.grad(lambda q, k, v: jnp.sum(
+        A.packed_qblock_attention(q, k, v, sm) ** 2), argnums=(0, 1, 2),
+    )(q, k, v)
+    gr = jax.grad(lambda q, k, v: jnp.sum(
+        _ref_blhd(q, k, v, sm) ** 2), argnums=(0, 1, 2),
+    )(q, k, v)
+    for a, b_ in zip(gp, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=1e-3)
+
+
 def test_single_block_kernel_interpret_parity(monkeypatch):
     monkeypatch.setattr(A, "INTERPRET", True)
     b, h, l, d = 2, 3, 130, 64  # l=130 exercises the pad-to-128 mask path
