@@ -37,9 +37,19 @@ def save_checkpoint(
     else:
         with ocp.StandardCheckpointer() as ckptr:
             ckptr.save(path / "state", _payload(state), force=True)
-    if extra:
-        (path / "meta.json").write_text(json.dumps(extra, default=str))
+    _write_meta(path, extra)
     return path
+
+
+def _write_meta(path: Path, extra: dict[str, Any] | None) -> None:
+    """meta.json next to the state dir — process 0 only.
+
+    Multi-host checkpoints go to ONE shared directory (orbax's collective
+    save assumes it); N processes writing the same small file is a race.
+    """
+    if extra and jax.process_index() == 0:
+        path.mkdir(parents=True, exist_ok=True)
+        (path / "meta.json").write_text(json.dumps(extra, default=str))
 
 
 def _staged_overwrite(path: Path, payload: dict[str, Any]) -> None:
@@ -50,14 +60,25 @@ def _staged_overwrite(path: Path, payload: dict[str, Any]) -> None:
     """
     import shutil
 
+    from jax.experimental import multihost_utils
+
     staging = path / "state.new"
-    if staging.exists():
+    multi = jax.process_count() > 1
+    # orbax's save is collective (all processes write their shards into the
+    # shared dir); the surrounding rmtree/rename dance must run on exactly
+    # one process, with barriers so nobody writes into a dir being deleted
+    if jax.process_index() == 0 and staging.exists():
         shutil.rmtree(staging)
+    if multi:
+        multihost_utils.sync_global_devices("ckpt_stage_clean")
     with ocp.StandardCheckpointer() as ckptr:
         ckptr.save(staging, payload, force=True)
-    old = path / "state"
-    shutil.rmtree(old)
-    staging.rename(old)
+    if jax.process_index() == 0:
+        old = path / "state"
+        shutil.rmtree(old)
+        staging.rename(old)
+    if multi:
+        multihost_utils.sync_global_devices("ckpt_swap")
 
 
 def _payload(state) -> dict[str, Any]:
@@ -109,9 +130,7 @@ class AsyncSaver:
                 path / "state", args=ocp.args.StandardSave(_payload(state)),
                 force=True,
             )
-        if extra:
-            path.mkdir(parents=True, exist_ok=True)
-            (path / "meta.json").write_text(json.dumps(extra, default=str))
+        _write_meta(path, extra)
         return path
 
     def wait(self) -> None:

@@ -8,9 +8,14 @@ final_div_factor=final_factor/1000), stepped per optimizer step.
 Phase-dependent trainability replaces torch's grad=None skipping:
   - pretrain: heads frozen (they receive no gradient in the reference);
   - probe: only heads train (encoder features are stop-gradient'ed);
-  - finetune: everything trains.
+  - finetune: encoder + heads train; the decoder side stays frozen.
 Frozen subtrees get ``optax.set_to_zero`` via ``optax.multi_transform`` so
-AdamW state/weight-decay never touches them.
+AdamW state/weight-decay never touches them.  The decoder-side subtrees
+(decoders/enc_to_dec/pixelify/mask tokens) are labelled separately because
+they are absent from the probe/finetune graphs: torch AdamW skips their
+``grad=None`` params entirely (no decoupled weight decay), so applying
+AdamW to their zero JAX gradients would decay them where the reference
+leaves them untouched (verified by tests/test_train_trajectory_parity.py).
 """
 
 from __future__ import annotations
@@ -76,12 +81,20 @@ def onecycle_schedule(
     return schedule
 
 
+_DECODER_PREFIXES = ("decoders_", "enc_to_dec_", "pixelify_", "mask_token_")
+
+
 def _param_role(path: tuple, _: object) -> str:
-    """Heads live under linen-named 'heads_<target>' subtrees."""
+    """Heads live under linen-named 'heads_<target>' subtrees; the decoder
+    side (reconstruction-only params) under decoders_/enc_to_dec_/pixelify_/
+    mask_token_."""
     for k in path:
         key = getattr(k, "key", None)
-        if isinstance(key, str) and key.startswith("heads_"):
-            return "head"
+        if isinstance(key, str):
+            if key.startswith("heads_"):
+                return "head"
+            if key.startswith(_DECODER_PREFIXES):
+                return "decoder"
     return "backbone"
 
 
@@ -93,7 +106,7 @@ def param_labels(params) -> dict:
 def trainable_roles(phase: str) -> tuple[str, ...]:
     match phase:
         case "pretrain":
-            return ("backbone",)
+            return ("backbone", "decoder")
         case "probe":
             return ("head",)
         case "finetune":
@@ -163,8 +176,8 @@ def _build_optimizer(
     labels = param_labels(params)
     tx = optax.multi_transform(
         {
-            "backbone": adamw if "backbone" in roles else optax.set_to_zero(),
-            "head": adamw if "head" in roles else optax.set_to_zero(),
+            role: adamw if role in roles else optax.set_to_zero()
+            for role in ("backbone", "decoder", "head")
         },
         labels,
     )

@@ -151,9 +151,25 @@ class Experiment:
         """
         from maestro_tpu.train.logging import EpochImageLogger
 
+        # the viz forward runs over globally-sharded params/batch: jit over a
+        # multi-host mesh is a collective program, so EVERY process must
+        # enter it (an is_primary() gate here deadlocks the pod); only the
+        # TB writing below is primary-only.
+        batch = self._device_batch(np_batch)
+        if phase == "pretrain":
+            out = self._viz_forward("pretrain")(state.params, batch, rng)
+        else:
+            out = self._viz_forward(phase)(state.params, batch)
+        if jax.process_count() > 1:
+            # materialize the non-addressable shards before indexing
+            from jax.experimental import multihost_utils
+
+            out = multihost_utils.process_allgather(out, tiled=True)
         if not is_primary():
             return
-        batch = self._device_batch(np_batch)
+        # global sample i == process-0-local sample i (batch sharding is
+        # contiguous in process order), so local np_batch provides the raw
+        # input images for the first n_samples
         n_samples = min(
             self.cfg.run.logged_images_per_epoch,
             np_batch[self.datasets.dataset.log_inputs[0]].shape[0],
@@ -163,15 +179,13 @@ class Experiment:
             self.cfg.run.logged_images_per_epoch,
         )
         if phase == "pretrain":
-            pixels, masks, targets = self._viz_forward("pretrain")(
-                state.params, batch, rng,
-            )
+            pixels, masks, targets = out
             for i in range(n_samples):
                 logger.log_reconstruction(
                     phase, "val", epoch, targets, pixels, masks, sample=i,
                 )
             return
-        logits = self._viz_forward(phase)(state.params, batch)
+        logits = out
         for hs in self.model.head_specs:
             if hs.type_target != "segment":
                 continue
@@ -424,7 +438,9 @@ class Experiment:
                     log.exception("image logging failed")
 
             # checkpoint + monitor
-            score = _lookup_monitor(val_logs, monitor) if monitor else None
+            score = (
+                _lookup_monitor(val_logs, monitor, phase) if monitor else None
+            )
             if monitor and val_logs and score is None and not warned_monitor:
                 # a typo'd monitor would otherwise silently disable early
                 # stopping and degrade test-on-best to test-on-last
@@ -618,6 +634,12 @@ class Experiment:
         # float()-ing them per step would block the async dispatch pipeline
         losses = []
         if phase == "pretrain":
+            # DELIBERATE deviation from the reference: the mask RNG folds in
+            # only the batch index, so val masking noise is IDENTICAL across
+            # epochs — val loss_rec moves only when the model does (the
+            # reference's global torch RNG re-rolls masks every epoch,
+            # adding masking variance to the monitoring signal). Training
+            # masks are unaffected (fresh rng per step via _run_train_epoch).
             for i, np_batch in enumerate(loader):
                 batch = self._device_batch(np_batch)
                 logs = eval_step(state.params, batch, jax.random.fold_in(rng, i))
@@ -761,12 +783,30 @@ def _flat_metrics(metrics: dict) -> dict[str, float]:
     return out
 
 
-def _lookup_monitor(val_logs: dict, monitor: str) -> float | None:
-    """Resolve 'target/metric_val'-style monitor names against val metrics."""
+def _lookup_monitor(
+    val_logs: dict, monitor: str, phase: str | None = None,
+) -> float | None:
+    """Resolve a monitor name against the val metrics, accepting every
+    spelling the reference ecosystem uses.
+
+    The reference documents ``monitor=treesat_mlc_thresh/weighted_f1_val``
+    (conf/opt.py:43-45) and Lightning actually watches the
+    phase-prefixed ``{phase}_{monitor}`` string (train/trainer.py:94-110);
+    our metrics dict keys are the bare ``target/metric``.  All three forms
+    (plus a ``_test`` suffix) resolve here, so a user pasting a reference
+    config never gets a silently-disabled early stop.
+    """
     flat = _flat_metrics(val_logs)
-    name = monitor.removesuffix("_val")
-    if name in flat:
-        return flat[name]
+    name = monitor
+    if phase and name.startswith(f"{phase}_"):
+        name = name[len(phase) + 1 :]
+    candidates = [monitor, name]
+    for suffix in ("_val", "_test"):
+        if name.endswith(suffix):
+            candidates.append(name.removesuffix(suffix))
+    for cand in candidates:
+        if cand in flat:
+            return flat[cand]
     return None
 
 

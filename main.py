@@ -82,6 +82,25 @@ def parse_cli(argv: list[str]):
     return cfg, datasets
 
 
+def _shared_uuid() -> str:
+    """One exp_uuid for the whole pod.
+
+    ``uuid.uuid4()`` is per-process random: on a multi-host run each host
+    would get its own workdir and orbax's collective save would scatter one
+    checkpoint across N directories.  Process 0 draws; everyone else adopts.
+    """
+    import jax
+
+    uid = uuid.uuid4().hex[:8]
+    if jax.process_count() > 1:
+        import numpy as np
+        from jax.experimental import multihost_utils
+
+        arr = np.frombuffer(uid.encode("ascii"), dtype=np.uint8)
+        uid = multihost_utils.broadcast_one_to_all(arr).tobytes().decode("ascii")
+    return uid
+
+
 def main(argv: list[str] | None = None) -> None:
     logging.basicConfig(
         level=logging.INFO,
@@ -97,7 +116,7 @@ def main(argv: list[str] | None = None) -> None:
         import numpy as np
 
         np.random.seed(cfg.run.seed)
-    cfg.run.exp_uuid = cfg.run.exp_uuid or uuid.uuid4().hex[:8]
+    cfg.run.exp_uuid = cfg.run.exp_uuid or _shared_uuid()
 
     workdir = Path(cfg.run.exp_dir) / cfg.run.exp_name / cfg.run.exp_uuid
     workdir.mkdir(parents=True, exist_ok=True)

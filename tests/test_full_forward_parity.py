@@ -110,53 +110,11 @@ class TorchPixelify(nn.Module):
         return torch.cat(outs, dim=2)
 
 
-class TorchAttention(nn.Module):
-    def __init__(self, dim, heads, dim_head):
-        super().__init__()
-        self.heads, self.dim_head = heads, dim_head
-        inner = heads * dim_head
-        self.norm = nn.LayerNorm(dim)
-        self.to_qkv = nn.Linear(dim, inner * 3, bias=False)
-        self.to_out = nn.Sequential(nn.Linear(inner, dim), nn.Identity())
-
-    def forward(self, x):
-        y = self.norm(x)
-        qkv = self.to_qkv(y).chunk(3, dim=-1)
-        b, l, _ = x.shape
-        q, k, v = (
-            t.reshape(b, l, self.heads, self.dim_head).transpose(1, 2)
-            for t in qkv
-        )
-        attn = ((q @ k.transpose(-1, -2)) * self.dim_head**-0.5).softmax(-1)
-        return self.to_out((attn @ v).transpose(1, 2).reshape(b, l, -1))
-
-
-class TorchFeedForward(nn.Module):
-    def __init__(self, dim, hidden):
-        super().__init__()
-        self.net = nn.Sequential(
-            nn.LayerNorm(dim), nn.Linear(dim, hidden), nn.GELU(),
-            nn.Dropout(0.0), nn.Linear(hidden, dim), nn.Dropout(0.0),
-        )
-
-    def forward(self, x):
-        return self.net(x)
-
-
-class TorchTransformer(nn.Module):
-    def __init__(self, dim, depth, heads, dim_head, mlp):
-        super().__init__()
-        self.norm = nn.LayerNorm(dim)
-        self.layers = nn.ModuleList(
-            [nn.ModuleList([TorchAttention(dim, heads, dim_head),
-                            TorchFeedForward(dim, mlp)]) for _ in range(depth)],
-        )
-
-    def forward(self, x):
-        for attn, ff in self.layers:
-            x = attn(x) + x
-            x = ff(x) + x
-        return self.norm(x)
+# The transformer trunk is the REAL vit-pytorch layout, vendored from the
+# pinned library (see vendored_vit_pytorch.py) — the porter is validated
+# against the genuine ``layers.{i}.0.to_qkv`` / ``net.0/1/4`` state-dict
+# naming the released checkpoints use, not a hand mirror of it.
+from vendored_vit_pytorch import Transformer as TorchTransformer  # noqa: E402
 
 
 class TorchAttentiveReduce(nn.Module):
@@ -297,15 +255,39 @@ class TorchMAE(nn.Module):
         )
         return torch.from_numpy(np.asarray(enc))
 
+    # torch-native group/ungroup (same static layout math as
+    # FusionPlan.group/ungroup, specs/fusion.py:120-156) so the mirror stays
+    # differentiable end-to-end for the trajectory-parity test
     def _group(self, x):
-        out = jax.tree.map(lambda t: jnp.asarray(t.detach().numpy()), x)
-        out = self.plan.group(out)
-        return {k: torch.from_numpy(np.asarray(v)) for k, v in out.items()}
+        plan, out = self.plan, {}
+        for name, stream in plan.streams.items():
+            parts = []
+            for mod in stream.mods:
+                xm = x[mod]
+                if plan.batch_flattened:
+                    parts.append(xm.flatten(0, 1))
+                else:
+                    parts.append(xm.flatten(1, 2))
+            out[name] = parts[0] if len(parts) == 1 else torch.cat(parts, dim=1)
+        return out
 
     def _ungroup(self, x):
-        out = jax.tree.map(lambda t: jnp.asarray(t.detach().numpy()), x)
-        out = self.plan.ungroup(out)
-        return {k: torch.from_numpy(np.asarray(v)) for k, v in out.items()}
+        plan, out = self.plan, {}
+        for name, stream in plan.streams.items():
+            xs = x[name]
+            for mod, off, length in zip(
+                stream.mods, stream.seg_offsets, stream.seg_lens,
+            ):
+                spec = plan.mod_specs[mod]
+                if plan.batch_flattened:
+                    out[mod] = xs.unflatten(
+                        0, (xs.shape[0] // spec.date_axis, spec.date_axis),
+                    )
+                else:
+                    out[mod] = xs[:, off : off + length].unflatten(
+                        1, (spec.date_axis, spec.tokens_per_date),
+                    )
+        return out
 
     def forward(self, batch, phase):
         plan = self.plan

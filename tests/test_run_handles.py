@@ -101,3 +101,25 @@ def test_is_primary_gates_jsonl_and_writer(tmp_path, monkeypatch):
     exp._writer = None
     exp._append_jsonl({"a": 1})
     assert (tmp_path / "metrics.jsonl").exists()
+
+
+def test_lookup_monitor_accepts_reference_spellings():
+    """Every monitor spelling in the reference ecosystem resolves: the bare
+    'target/metric', the documented 'target/metric_val' (reference
+    conf/opt.py:43-45), and Lightning's phase-prefixed
+    '{phase}_target/metric_val' (reference train/trainer.py:94-110)."""
+    from maestro_tpu.train.runtime import _lookup_monitor
+
+    val_logs = {"treesat_mlc_thresh": {"weighted_f1": 0.75, "average_f1": 0.5}}
+    for monitor in (
+        "treesat_mlc_thresh/weighted_f1",
+        "treesat_mlc_thresh/weighted_f1_val",
+        "finetune_treesat_mlc_thresh/weighted_f1_val",
+    ):
+        assert _lookup_monitor(val_logs, monitor, "finetune") == 0.75, monitor
+
+    assert _lookup_monitor(val_logs, "typo/metric_val", "finetune") is None
+    # a *different* phase prefix must not be stripped
+    assert _lookup_monitor(
+        val_logs, "probe_treesat_mlc_thresh/weighted_f1_val", "finetune",
+    ) is None

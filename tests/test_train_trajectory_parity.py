@@ -1,0 +1,224 @@
+"""Optimizer-trajectory golden parity: torch AdamW+OneCycleLR vs optax.
+
+Forward parity (test_full_forward_parity.py) proves the ported weights
+compute the same function; this test proves the TRAINING DYNAMICS match the
+reference stack (/root/reference/maestro/train/model.py:120-158): both
+sides start from the same ported weights, see the same 20 supervised
+batches, and step their own optimizer — torch AdamW + OneCycleLR
+(pct_start=0.2, div_factor=1000, cycle_momentum=False) vs the shipped optax
+chain (train/optim.py).  Per-step loss trajectories and final parameters
+must agree.
+
+Three layers of assertion:
+  1. exact-LR run: the optax AdamW is driven by torch's own per-step LR
+     table, isolating AdamW semantics (decoupled weight decay, bias
+     correction, eps placement) from schedule rounding -> tight tolerance,
+     including on the final parameters;
+  2. shipped run: the as-shipped ``make_optimizer`` (our closed-form
+     OneCycle) -> slightly looser tolerance covering the documented ~1%
+     schedule rounding (test_onecycle_parity.py);
+  3. decoder-side params (decoders/enc_to_dec/pixelify/mask tokens) receive
+     no gradient in the finetune graph; torch AdamW skips grad=None params
+     entirely, so they must come out EXACTLY untouched (optim.py labels
+     them 'decoder' and freezes them outside pretrain).
+
+EMA parity: after the trajectory, one reference-style EMA update
+(base.py:267-274, momentum = 1 - 1/(0.2*max_epochs)) on both sides must
+agree leaf-for-leaf through the same state-dict port.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+from torch.nn import functional as F  # noqa: E402, N812
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import optax  # noqa: E402
+from test_full_forward_parity import NO_MASK, TorchMAE  # noqa: E402
+
+from maestro_tpu.conf import ModelConfig  # noqa: E402
+from maestro_tpu.conf.core import OptFinetuneConfig  # noqa: E402
+from maestro_tpu.models.mae import MAE_ARCHS, build_model  # noqa: E402
+from maestro_tpu.port.torch_port import (  # noqa: E402
+    merge_into_template,
+    port_mae_state_dict,
+)
+from maestro_tpu.train.optim import (  # noqa: E402
+    lr_for,
+    make_optimizer,
+    param_labels,
+    trainable_roles,
+)
+from maestro_tpu.train.state import TrainState, ema_momentum  # noqa: E402
+from maestro_tpu.train.steps import (  # noqa: E402
+    init_metric_states,
+    make_supervised_step,
+)
+from maestro_tpu.utils.testing import make_synthetic_batch  # noqa: E402
+
+N_STEPS = 20
+BS = 4
+MAX_EPOCHS = 10  # for the EMA momentum, reference base.py:268
+
+
+def _port(tmodel, plan, model, template):
+    # .copy(): .numpy() aliases the torch storage, and torch AdamW updates
+    # in place — without it the ported trees would mutate retroactively
+    sd = {f"model.{k}": v.detach().numpy().copy() for k, v in
+          tmodel.state_dict().items()}
+    ported = port_mae_state_dict(sd, plan, model.head_specs)
+    merged, _, missing = merge_into_template(ported, template)
+    assert not missing, f"unported leaves: {missing[:10]}"
+    return merged
+
+
+@pytest.fixture(scope="module")
+def setup(datasets_treesat):
+    cfg = ModelConfig(model_size="micro", fusion_mode="group", inter_depth=1)
+    model, plan = build_model(datasets_treesat, NO_MASK, cfg,
+                              dtype=jnp.float32)
+    torch.manual_seed(13)
+    tmodel = TorchMAE(plan, MAE_ARCHS["micro"], cfg.inter_depth,
+                      model.head_specs)
+    batches = [
+        make_synthetic_batch(datasets_treesat.dataset, BS, seed=100 + s)
+        for s in range(N_STEPS)
+    ]
+    jb = {k: jnp.asarray(v) for k, v in batches[0].items()}
+    key = jax.random.PRNGKey(0)
+    p_pre = model.init({"params": key, "mask": key}, jb, "pretrain")
+    p_probe = model.init({"params": key, "mask": key}, jb, "probe")
+    template = {"params": {**p_probe["params"], **p_pre["params"]}}
+    params0 = _port(tmodel, plan, model, template)
+
+    opt_cfg = OptFinetuneConfig(batch_size=BS, accumulate_grad_batches=1)
+    peak = lr_for(opt_cfg, num_devices=1)
+    head = model.head_specs[0]
+    assert head.type_target == "multilabel_classif"
+
+    # ---- torch trajectory, exactly the reference recipe ----
+    opt = torch.optim.AdamW(
+        tmodel.parameters(), lr=peak, weight_decay=opt_cfg.wd,
+        betas=(opt_cfg.b1, opt_cfg.b2),
+    )
+    sched = torch.optim.lr_scheduler.OneCycleLR(
+        opt, max_lr=peak, total_steps=N_STEPS, pct_start=0.2,
+        cycle_momentum=False, div_factor=1000,
+        final_div_factor=opt_cfg.final_factor / 1000.0,
+    )
+    t_losses, t_lrs = [], []
+    for b in batches:
+        t_lrs.append(opt.param_groups[0]["lr"])
+        logits = tmodel(b, "finetune")[head.name]
+        y = torch.from_numpy(np.asarray(b[head.name])).float()
+        loss = F.binary_cross_entropy_with_logits(logits, y)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        sched.step()
+        t_losses.append(float(loss))
+    t_final = _port(tmodel, plan, model, template)
+
+    # reference EMA step on the trained torch model (base.py:267-274)
+    mom = ema_momentum(MAX_EPOCHS)
+    with torch.no_grad():
+        torch.manual_seed(13)
+        t_init = TorchMAE(plan, MAE_ARCHS["micro"], cfg.inter_depth,
+                          model.head_specs)
+        for p_ema, p in zip(t_init.parameters(), tmodel.parameters()):
+            p_ema.data.mul_(mom).add_((1.0 - mom) * p.detach().data)
+    t_ema = _port(t_init, plan, model, template)
+
+    return {
+        "model": model, "plan": plan, "params0": params0,
+        "batches": batches, "opt_cfg": opt_cfg, "head": head,
+        "t_losses": np.asarray(t_losses), "t_lrs": np.asarray(t_lrs),
+        "t_final": t_final, "t_ema": t_ema, "mom": mom,
+    }
+
+
+def _jax_trajectory(setup, tx):
+    model, batches = setup["model"], setup["batches"]
+    step = make_supervised_step(model, "finetune", tx, donate=False)
+    state = TrainState.create(setup["params0"], tx)
+    ms = init_metric_states(model.head_specs)
+    losses = []
+    for b in batches:
+        jb = {k: jnp.asarray(v) for k, v in b.items()}
+        state, _, logs = step(state, jb, ms)
+        losses.append(float(logs["loss_pred"]))
+    return np.asarray(losses), state
+
+
+def _max_rel(a, b):
+    trees = jax.tree.map(
+        lambda x, y: float(jnp.max(jnp.abs(x - y))
+                           / (jnp.max(jnp.abs(y)) + 1e-12)),
+        a, b,
+    )
+    return max(jax.tree.leaves(trees))
+
+
+def test_trajectory_exact_lr_table(setup):
+    """AdamW semantics isolated: drive optax with torch's own LR sequence."""
+    opt_cfg = setup["opt_cfg"]
+    table = jnp.asarray(setup["t_lrs"], dtype=jnp.float32)
+    adamw = optax.adamw(
+        learning_rate=lambda count: table[jnp.minimum(count, N_STEPS - 1)],
+        b1=opt_cfg.b1, b2=opt_cfg.b2, weight_decay=opt_cfg.wd,
+    )
+    roles = trainable_roles("finetune")
+    tx = optax.multi_transform(
+        {
+            role: adamw if role in roles else optax.set_to_zero()
+            for role in ("backbone", "decoder", "head")
+        },
+        param_labels(setup["params0"]),
+    )
+    losses, state = _jax_trajectory(setup, tx)
+    np.testing.assert_allclose(
+        losses, setup["t_losses"], rtol=2e-4, atol=2e-5,
+        err_msg="per-step loss trajectory (identical LR table)",
+    )
+    # final parameters agree leaf-for-leaf through the port
+    assert _max_rel(state.params, setup["t_final"]) < 2e-3
+
+    # reference-style EMA after the trajectory agrees through the port
+    # (asserted here, on matching final params, so it isolates the EMA
+    # momentum formula from OneCycle rounding drift)
+    mom = setup["mom"]
+    ema = jax.tree.map(
+        lambda e, p: mom * e + (1.0 - mom) * p,
+        setup["params0"], state.params,
+    )
+    assert _max_rel(ema, setup["t_ema"]) < 4e-3
+
+
+def test_trajectory_shipped_optimizer(setup):
+    """The as-shipped make_optimizer chain reproduces the torch trajectory
+    within the documented OneCycle rounding deviation."""
+    tx = make_optimizer(
+        setup["opt_cfg"], "finetune", total_steps=N_STEPS,
+        params=setup["params0"],
+    )
+    losses, state = _jax_trajectory(setup, tx)
+    np.testing.assert_allclose(
+        losses, setup["t_losses"], rtol=2e-3, atol=1e-4,
+        err_msg="per-step loss trajectory (shipped OneCycle)",
+    )
+
+    # decoder-side params were untouched by torch (grad=None -> skipped,
+    # no weight decay); ours must match bit-for-bit (optax.set_to_zero)
+    for sub in state.params["params"]:
+        if sub.startswith(("decoders_", "enc_to_dec_", "pixelify_",
+                           "mask_token_")):
+            got = state.params["params"][sub]
+            want = setup["params0"]["params"][sub]
+            same = jax.tree.map(
+                lambda a, b: bool(jnp.array_equal(a, b)), got, want,
+            )
+            assert all(jax.tree.leaves(same)), f"{sub} drifted in finetune"
