@@ -178,6 +178,10 @@ class AttentiveReduce(nn.Module):
             x = x[:, :, None, :]
         b, d, l, _ = x.shape
         dh = self.dim // self.heads
+
+        if self._use_fused_pool(x):
+            return self._fused_pool(x)
+
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(x)
         kv = nn.Dense(self.dim * 2, use_bias=False, dtype=self.dtype, name="to_kv")(y)
         k, v = jnp.split(kv, 2, axis=-1)
@@ -196,3 +200,45 @@ class AttentiveReduce(nn.Module):
         out = out.reshape(b, l, self.dim)
         out = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_fc")(out)
         return out[:, 0] if squeeze else out
+
+    def _use_fused_pool(self, x: jnp.ndarray) -> bool:
+        """Fused Pallas pool for the hot many-position date reduction.
+
+        The segmentation-head regime — pool a short date axis at every ref
+        position — spends more on LN/kv HBM round-trips than on math in the
+        XLA formulation; ops/attn_pool.py streams it through VMEM once.
+        The kernel needs 128-aligned lanes; anything else (including the
+        rank-3 classification pool, where positions==1) keeps the XLA path.
+        """
+        from maestro_tpu.ops import attn_pool as ap
+
+        if not (jax.default_backend() == "tpu" or ap.INTERPRET):
+            return False
+        b, d, l, e = x.shape
+        return (
+            l >= 32
+            and d >= 2
+            and e == self.dim
+            and e % 128 == 0
+            and e % self.heads == 0
+        )
+
+    def _fused_pool(self, x: jnp.ndarray) -> jnp.ndarray:
+        from maestro_tpu.ops.attn_pool import attentive_pool
+
+        # materialize the XLA path's params (same tree: norm/to_kv/query)
+        # on a 1-token probe; the dead probe ops are DCE'd by XLA
+        norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")
+        to_kv = nn.Dense(self.dim * 2, use_bias=False, dtype=self.dtype,
+                         name="to_kv")
+        _ = to_kv(norm(jax.lax.stop_gradient(x[:1, :1, :1])))
+        query = self.param(
+            "query", nn.initializers.normal(1.0), (self.dim,), jnp.float32,
+        )
+        ln = self.get_variable("params", "norm")
+        wkv = self.get_variable("params", "to_kv")["kernel"]
+        out = attentive_pool(
+            x.astype(self.dtype), ln["scale"], ln["bias"], wkv, query,
+            self.heads,
+        )
+        return nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm_fc")(out)

@@ -140,6 +140,7 @@ def main(argv: list[str] | None = None) -> None:
     results = run_experiment(cfg, datasets, workdir)
     for phase, res in results.items():
         print(phase, res.test_metrics or res.val_metrics)
+    return results
 
 
 if __name__ == "__main__":
