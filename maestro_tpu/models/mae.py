@@ -326,8 +326,12 @@ class MaestroMAE(nn.Module):
         ref-grid resize + date-stack + reduce run per row chunk, so the
         [B, sum(date_axis), ref_grid^2, E] tensor — several GB at FLAIR
         scale, the term that made medium finetune exceed v5e HBM — is never
-        materialized.  The call is additionally under ``jax.checkpoint`` so
-        nothing from the head forward is saved for backward.
+        materialized.  Memory across fwd->bwd is bounded by the head itself
+        (remat'd scan body; the fused pool kernel's custom VJP saves only
+        its input + [B,L,H] softmax stats), so no outer ``nn.remat`` wraps
+        this call — an earlier one recomputed the entire head forward
+        (resize einsums + LN + kv projections) a second time in the
+        backward pass for no memory benefit.
         """
         return self.heads[name](tuple(x[m] for m in self.plan.mods))
 
@@ -345,7 +349,7 @@ class MaestroMAE(nn.Module):
             axis=1,
         )
 
-        seg_fn = nn.remat(MaestroMAE._seg_logits, static_argnums=(2,))
+        seg_fn = MaestroMAE._seg_logits
         logits = {}
         for hs in self.head_specs:
             if hs.type_target == "segment":

@@ -172,6 +172,19 @@ def _sb_specs(bh: int, l: int, d: int):
     return spec
 
 
+def _attn_cost(bh: int, lp: int, d: int, bwd: bool = False):
+    """Executed-flop estimate for one attention pass over bh (batch*head)
+    sequences of lp (padded) tokens.  XLA scores opaque custom calls at ~0
+    flops; without this, every Pallas attention tier silently deflates the
+    MFU that bench.py derives from compiled.cost_analysis()."""
+    matmuls = 10 if bwd else 4  # fwd: scores+pv; bwd: recompute+dp+ds+dq+dk+dv
+    return pl.CostEstimate(
+        flops=matmuls * bh * lp * lp * d,
+        transcendentals=bh * lp * lp * (2 if bwd else 1),
+        bytes_accessed=(14 if bwd else 8) * bh * lp * d * 2,
+    )
+
+
 @partial(jax.custom_vjp, nondiff_argnums=(3,))
 def single_block_attention(q, k, v, sm_scale):
     """[B, H, L, D] attention with VMEM-resident scores per (b, h)."""
@@ -197,6 +210,7 @@ def _sb_impl(q, k, v, sm_scale):
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((b * h, lp, d), q.dtype),
         compiler_params=_sb_params(),
+        cost_estimate=_attn_cost(b * h, lp, d),
         interpret=INTERPRET,
     )(qf, kf, vf)
     return out[:, :l].reshape(b, h, l, d)
@@ -230,6 +244,7 @@ def _sb_bwd(sm_scale, res, do):
         out_specs=[spec, spec, spec],
         out_shape=[shape, shape, shape],
         compiler_params=_sb_params(),
+        cost_estimate=_attn_cost(b * h, lp, d, bwd=True),
         interpret=INTERPRET,
     )(qf, kf, vf, dof)
     unpad = lambda x: x[:, :l].reshape(b, h, l, d)
@@ -349,6 +364,7 @@ def _pk_impl_local(q, k, v, sm_scale):
         out_specs=spec,
         out_shape=jax.ShapeDtypeStruct((b, lp, h * d), q.dtype),
         compiler_params=_pk_params(),
+        cost_estimate=_attn_cost(b * h, lp, d),
         interpret=INTERPRET,
     )(flat(q), flat(k), flat(v))
     return out[:, :l].reshape(b, l, h, d)
@@ -369,6 +385,7 @@ def _pk_bwd_local(do, q, k, v, sm_scale):
         out_specs=[spec, spec, spec],
         out_shape=[shape, shape, shape],
         compiler_params=_pk_params(),
+        cost_estimate=_attn_cost(b * h, lp, d, bwd=True),
         interpret=INTERPRET,
     )(flat(q), flat(k), flat(v), flat(do))
     unpad = lambda x: x[:, :l].reshape(b, l, h, d)
@@ -555,6 +572,7 @@ def _qb_impl_local(q, k, v, sm_scale):
         out_specs=q_spec,
         out_shape=jax.ShapeDtypeStruct((b, lp, h * d), q.dtype),
         compiler_params=_qb_params(),
+        cost_estimate=_attn_cost(b * h, lp, d),
         interpret=INTERPRET,
     )(flat(q), flat(k), flat(v))
     return out[:, :l].reshape(b, l, h, d)
@@ -583,6 +601,7 @@ def _qb_bwd_local(do, q, k, v, sm_scale):
             pltpu.VMEM((lp, width), jnp.float32),
         ],
         compiler_params=_qb_params(),
+        cost_estimate=_attn_cost(b * h, lp, d, bwd=True),
         interpret=INTERPRET,
     )(flat(q), flat(k), flat(v), flat(do))
     unpad = lambda x: x[:, :l].reshape(b, l, h, d)

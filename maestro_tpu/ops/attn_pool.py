@@ -40,7 +40,11 @@ INTERPRET = False
 # position-block rows: bounded by VMEM (x and dx blocks are double-buffered
 # across grid steps; the bwd also keeps the fp32 dW_kv accumulator resident).
 _FWD_BL = 128
-_BWD_BL = 48
+# bwd blocks 128 positions x _BWD_DBLK dates per grid cell: the matmuls then
+# run with >=128 rows (a 48-row M dim leaves 62% of the MXU idle — the r3
+# profile showed the first bwd kernel merely matching XLA for that reason)
+_BWD_BL = 128
+_BWD_DBLK = 4
 
 
 def _selectors(query: jnp.ndarray, heads: int, dtype):
@@ -110,20 +114,34 @@ def _fwd_kernel(x_ref, scale_ref, bias_ref, wkv_ref, qmat_ref, s_ref,
 
 
 def _bwd_kernel(x_ref, scale_ref, bias_ref, wkv_ref, qmat_ref, s_ref,
-                m_ref, den_ref, g_ref,
+                m_ref, den_ref, g_ref, out_ref,
                 dx_ref, dw_ref, dqm_ref, dscale_ref, dbias_ref,
-                *, eps, sm_scale):
-    i, j = pl.program_id(0), pl.program_id(1)
-    d = x_ref.shape[1]
+                *, eps, sm_scale, d_total):
+    """One (batch, position-block, date-block) grid cell of the backward.
+
+    The softmax-bwd pivot ``T[l,h] = sum_d a_d * (g . v_d)_h`` needs no date
+    sweep: attention is linear in v, so ``sum_d a_d v_d`` IS the forward
+    output and ``T[l,h] = sum_{e in head h} g[l,e] * out[l,e]`` — one tiny
+    selector matmul on saved tensors.  That removes the whole first
+    recompute pass the r3 kernel paid (one of its two LN+kv sweeps), and
+    with T independent of the date axis, dates can block into the grid:
+    every matmul below runs with _BWD_DBLK*_BWD_BL (=512) rows instead of
+    48, the difference between a starved and a full MXU M dimension.
+    """
+    i, j, dj = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+    dblk = x_ref.shape[1]
     bl, e = x_ref.shape[2], x_ref.shape[3]
+    h = qmat_ref.shape[1]
+    rows = dblk * bl
     scale = scale_ref[...].astype(jnp.float32)  # [1, E]
     bias = bias_ref[...].astype(jnp.float32)
     sel = s_ref[...].astype(jnp.float32)  # [H, E]
-    m = m_ref[0]  # [BL, H]
+    m = m_ref[0]  # [BL, H] fp32
     den = den_ref[0]
     g = g_ref[0].astype(jnp.float32)  # [BL, E]
+    outv = out_ref[0].astype(jnp.float32)  # [BL, E]
 
-    @pl.when((i == 0) & (j == 0))
+    @pl.when((i == 0) & (j == 0) & (dj == 0))
     def _init():
         dw_ref[...] = jnp.zeros_like(dw_ref)
         dqm_ref[...] = jnp.zeros_like(dqm_ref)
@@ -135,61 +153,45 @@ def _bwd_kernel(x_ref, scale_ref, bias_ref, wkv_ref, qmat_ref, s_ref,
         lhs, rhs, (dims, ((), ())), preferred_element_type=jnp.float32,
     )
 
-    h = qmat_ref.shape[1]
+    t_acc = contract(g * outv, sel, ((1,), (1,)))  # [BL, H]
 
-    # pass 1: T[l,h] = sum_d a_d * (g . v_d)_h  (softmax-bwd pivot)
-    def pivot_step(di, t_acc):
-        y, _, _ = _ln_fwd(x_ref[0, di], scale, bias, eps)
-        kv = jax.lax.dot(y.astype(in_dt), wkv_ref[...],
-                         preferred_element_type=jnp.float32)
-        k, v = kv[:, :e], kv[:, e:]
-        logit = jax.lax.dot(k.astype(in_dt), qmat_ref[...],
-                            preferred_element_type=jnp.float32) * sm_scale
-        a = jnp.exp(logit - m) / den  # [BL, H]
-        t = contract(g * v, sel, ((1,), (1,)))  # [BL, H]
-        return t_acc + a * t
+    y, xhat, rstd = _ln_fwd(x_ref[0].reshape(rows, e), scale, bias, eps)
+    kv = jax.lax.dot(y.astype(in_dt), wkv_ref[...],
+                     preferred_element_type=jnp.float32)  # [rows, 2E]
+    k, v = kv[:, :e], kv[:, e:]
+    logit = jax.lax.dot(k.astype(in_dt), qmat_ref[...],
+                        preferred_element_type=jnp.float32) * sm_scale
+    # date-padding tail: kill those rows' softmax weights before exp (the
+    # padded x rows are zeros, but LN(0)=bias gives a finite garbage logit)
+    live = (
+        dj * dblk + jax.lax.broadcasted_iota(jnp.int32, (dblk, 1, 1), 0)
+    ) < d_total
+    logit = jnp.where(live, logit.reshape(dblk, bl, h), -1e30)
+    a = (jnp.exp(logit - m) / den).reshape(rows, h)  # [rows, H]
 
-    t_acc = jax.lax.fori_loop(
-        0, d, pivot_step, jnp.zeros((bl, h), jnp.float32),
-    )
-
+    gr = jnp.broadcast_to(g[None], (dblk, bl, e)).reshape(rows, e)
+    t_d = contract(gr * v, sel, ((1,), (1,)))  # [rows, H]
+    t_rep = jnp.broadcast_to(t_acc[None], (dblk, bl, h)).reshape(rows, h)
+    dlogit = a * (t_d - t_rep)  # [rows, H]
+    ab = jax.lax.dot(a, sel, preferred_element_type=jnp.float32)
+    dv = ab * gr  # [rows, E]
+    dlb = jax.lax.dot(dlogit, sel, preferred_element_type=jnp.float32)
     # dk[l,e] = dlogit[l,h(e)] * query[e] * sm_scale; query[e] is Qmat
     # summed over heads — recover it from the selector layout
     qvec = jnp.sum(qmat_ref[...].astype(jnp.float32), axis=1)[None, :]
-
-    # pass 2: per-date grads (fori_loop, not unrolled — see _fwd_kernel).
-    # Param grads accumulate straight into the revisited output refs: a
-    # loop-carried fp32 dW copy would double the 4.7 MB accumulator in VMEM.
-    def grad_step(di, _):
-        y, xhat, rstd = _ln_fwd(x_ref[0, di], scale, bias, eps)
-        ybf = y.astype(in_dt)
-        kv = jax.lax.dot(ybf, wkv_ref[...],
-                         preferred_element_type=jnp.float32)
-        k, v = kv[:, :e], kv[:, e:]
-        logit = jax.lax.dot(k.astype(in_dt), qmat_ref[...],
-                            preferred_element_type=jnp.float32) * sm_scale
-        a = jnp.exp(logit - m) / den
-        t = contract(g * v, sel, ((1,), (1,)))
-        dlogit = a * (t - t_acc)  # [BL, H]
-        ab = jax.lax.dot(a, sel, preferred_element_type=jnp.float32)
-        dv = ab * g  # [BL, E]
-        dlb = jax.lax.dot(dlogit, sel, preferred_element_type=jnp.float32)
-        dk = dlb * qvec * sm_scale
-        dqm_ref[...] += contract(k * sm_scale, dlogit, ((0,), (0,)))  # [E, H]
-        dkv = jnp.concatenate([dk, dv], axis=1).astype(in_dt)  # [BL, 2E]
-        dy = contract(dkv, wkv_ref[...], ((1,), (1,)))  # [BL, E]
-        dw_ref[...] += contract(y, dkv.astype(jnp.float32), ((0,), (0,)))
-        # LayerNorm backward
-        dscale_ref[...] += jnp.sum(dy * xhat, axis=0, keepdims=True)
-        dbias_ref[...] += jnp.sum(dy, axis=0, keepdims=True)
-        dxh = dy * scale
-        mean1 = jnp.mean(dxh, axis=-1, keepdims=True)
-        mean2 = jnp.mean(dxh * xhat, axis=-1, keepdims=True)
-        dx = rstd * (dxh - mean1 - xhat * mean2)
-        dx_ref[0, di] = dx.astype(dx_ref.dtype)
-        return 0
-
-    jax.lax.fori_loop(0, d, grad_step, 0)
+    dk = dlb * qvec * sm_scale
+    dqm_ref[...] += contract(k * sm_scale, dlogit, ((0,), (0,)))  # [E, H]
+    dkv = jnp.concatenate([dk, dv], axis=1).astype(in_dt)  # [rows, 2E]
+    dy = contract(dkv, wkv_ref[...], ((1,), (1,)))  # [rows, E]
+    dw_ref[...] += contract(y, dkv.astype(jnp.float32), ((0,), (0,)))
+    # LayerNorm backward
+    dscale_ref[...] += jnp.sum(dy * xhat, axis=0, keepdims=True)
+    dbias_ref[...] += jnp.sum(dy, axis=0, keepdims=True)
+    dxh = dy * scale
+    mean1 = jnp.mean(dxh, axis=-1, keepdims=True)
+    mean2 = jnp.mean(dxh * xhat, axis=-1, keepdims=True)
+    dx = rstd * (dxh - mean1 - xhat * mean2)
+    dx_ref[0] = dx.reshape(dblk, bl, e).astype(dx_ref.dtype)
 
 
 def _pad_rows(x, pad):
@@ -242,6 +244,7 @@ def _fwd_impl(x, ln_scale, ln_bias, w_kv, query, heads, eps, block=None):
             jax.ShapeDtypeStruct((b, lp, heads), jnp.float32),
         ],
         compiler_params=_params(),
+        cost_estimate=_fwd_cost(b, d, l, e, heads),
         interpret=INTERPRET,
     )(xp, ln_scale[None].astype(x.dtype), ln_bias[None].astype(x.dtype),
       w_kv.astype(x.dtype), qmat, sel)
@@ -256,9 +259,15 @@ def _params():
     from jax.experimental.pallas import tpu as pltpu
 
     # position blocks revisit the parameter-gradient outputs -> the grid
-    # must iterate them sequentially (accumulation), batch stays parallel
+    # must iterate them sequentially (accumulation), batch stays parallel.
+    # vmem_limit_bytes: the default 16 MB scoped-vmem budget is marginal for
+    # the [1, D, 128, E] x-block at FLAIR scale (D=26: 4.9 MB double-
+    # buffered + fp32 temporaries) — surrounding-fusion changes pushed one
+    # build to 19.75 MB and a compile-time OOM; the per-kernel raise does
+    # not touch XLA's budget elsewhere
     return pltpu.CompilerParams(
         dimension_semantics=("parallel", "arbitrary"),
+        vmem_limit_bytes=64 * 1024 * 1024,
     )
 
 
@@ -266,65 +275,109 @@ def _bwd_params():
     from jax.experimental.pallas import tpu as pltpu
 
     return pltpu.CompilerParams(
-        dimension_semantics=("arbitrary", "arbitrary"),
+        dimension_semantics=("arbitrary", "arbitrary", "arbitrary"),
+        vmem_limit_bytes=64 * 1024 * 1024,
+    )
+
+
+def _fwd_cost(b, d, l, e, h):
+    """Honest executed-flop estimate: XLA cost analysis scores an opaque
+    custom call at ~0 flops, which silently deflates measured MFU when a
+    kernel replaces counted XLA ops (bench.py derives MFU from
+    compiled.cost_analysis()['flops'])."""
+    rows = b * d * l
+    return pl.CostEstimate(
+        flops=rows * (4 * e * e + 2 * e * h + 12 * e),
+        transcendentals=rows * 2 * h,
+        bytes_accessed=(
+            b * d * l * e * 2  # x read (bf16 nominal)
+            + b * l * e * 2  # out write
+            + 2 * b * l * h * 4  # m/den
+            + 2 * e * 2 * e
+        ),
+    )
+
+
+def _bwd_cost(b, d, l, e, h):
+    rows = b * d * l
+    return pl.CostEstimate(
+        flops=rows * (12 * e * e + 8 * e * h + 25 * e),
+        transcendentals=rows * h,
+        bytes_accessed=(
+            2 * b * d * l * e * 2  # x read + dx write
+            + 2 * b * l * e * 2  # g, out reads
+            + 2 * b * l * h * 4
+            + 3 * e * 2 * e * 4
+        ),
     )
 
 
 def _vjp_fwd(x, ln_scale, ln_bias, w_kv, query, heads, eps):
     out, m, den = _fwd_impl(x, ln_scale, ln_bias, w_kv, query, heads, eps)
-    return out, (x, ln_scale, ln_bias, w_kv, query, m, den)
+    # out joins the residuals: the bwd derives the softmax pivot from it
+    # (T = per-head <g, out>) instead of re-sweeping the date axis
+    return out, (x, ln_scale, ln_bias, w_kv, query, m, den, out)
 
 
 def _vjp_bwd(heads, eps, res, g):
-    x, ln_scale, ln_bias, w_kv, query, m, den = res
+    x, ln_scale, ln_bias, w_kv, query, m, den, out = res
     b, d, l, e = x.shape
     bl = min(_BWD_BL, _round_up(l, 8))
     pad = (-l) % bl
     lp = l + pad
+    dblk = min(_BWD_DBLK, d)
+    dpad = (-d) % dblk
+    dp = d + dpad
     xp = _pad_rows(x, pad)
+    if dpad:
+        xp = jnp.pad(xp, ((0, 0), (0, dpad), (0, 0), (0, 0)))
     gp = jnp.pad(g, ((0, 0), (0, pad), (0, 0))) if pad else g
-    # padded positions: m=-1e30, den=0 would divide by zero — make them
-    # produce a=exp(0-0)/1 with zero cotangent (gp rows are zero)
+    # padded positions: m=+1e30 underflows every exp(logit - m) to an exact
+    # zero weight (den pads to 1 so the division stays finite); their
+    # cotangent rows (gp) are zero as well
     if pad:
-        m = jnp.pad(m, ((0, 0), (0, pad), (0, 0)))
+        m = jnp.pad(m, ((0, 0), (0, pad), (0, 0)), constant_values=1e30)
         den = jnp.pad(den, ((0, 0), (0, pad), (0, 0)),
                       constant_values=1.0)
+        out = jnp.pad(out, ((0, 0), (0, pad), (0, 0)))
     qmat, sel = _selectors(query, heads, x.dtype)
     sm_scale = (e // heads) ** -0.5
-    kernel = partial(_bwd_kernel, eps=eps, sm_scale=sm_scale)
+    kernel = partial(_bwd_kernel, eps=eps, sm_scale=sm_scale, d_total=d)
     dx, dw, dqm, dsc, dbi = pl.pallas_call(
         kernel,
-        grid=(b, lp // bl),
+        grid=(b, lp // bl, dp // dblk),
         in_specs=[
-            pl.BlockSpec((1, d, bl, e), lambda i, j: (i, 0, j, 0)),
-            pl.BlockSpec((1, e), lambda i, j: (0, 0)),
-            pl.BlockSpec((1, e), lambda i, j: (0, 0)),
-            pl.BlockSpec((e, 2 * e), lambda i, j: (0, 0)),
-            pl.BlockSpec((e, heads), lambda i, j: (0, 0)),
-            pl.BlockSpec((heads, e), lambda i, j: (0, 0)),
-            pl.BlockSpec((1, bl, heads), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, bl, heads), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, bl, e), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((1, dblk, bl, e), lambda i, j, dj: (i, dj, j, 0)),
+            pl.BlockSpec((1, e), lambda i, j, dj: (0, 0)),
+            pl.BlockSpec((1, e), lambda i, j, dj: (0, 0)),
+            pl.BlockSpec((e, 2 * e), lambda i, j, dj: (0, 0)),
+            pl.BlockSpec((e, heads), lambda i, j, dj: (0, 0)),
+            pl.BlockSpec((heads, e), lambda i, j, dj: (0, 0)),
+            pl.BlockSpec((1, bl, heads), lambda i, j, dj: (i, j, 0)),
+            pl.BlockSpec((1, bl, heads), lambda i, j, dj: (i, j, 0)),
+            pl.BlockSpec((1, bl, e), lambda i, j, dj: (i, j, 0)),
+            pl.BlockSpec((1, bl, e), lambda i, j, dj: (i, j, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, d, bl, e), lambda i, j: (i, 0, j, 0)),
-            pl.BlockSpec((e, 2 * e), lambda i, j: (0, 0)),
-            pl.BlockSpec((e, heads), lambda i, j: (0, 0)),
-            pl.BlockSpec((1, e), lambda i, j: (0, 0)),
-            pl.BlockSpec((1, e), lambda i, j: (0, 0)),
+            pl.BlockSpec((1, dblk, bl, e), lambda i, j, dj: (i, dj, j, 0)),
+            pl.BlockSpec((e, 2 * e), lambda i, j, dj: (0, 0)),
+            pl.BlockSpec((e, heads), lambda i, j, dj: (0, 0)),
+            pl.BlockSpec((1, e), lambda i, j, dj: (0, 0)),
+            pl.BlockSpec((1, e), lambda i, j, dj: (0, 0)),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((b, d, lp, e), x.dtype),
+            jax.ShapeDtypeStruct((b, dp, lp, e), x.dtype),
             jax.ShapeDtypeStruct((e, 2 * e), jnp.float32),
             jax.ShapeDtypeStruct((e, heads), jnp.float32),
             jax.ShapeDtypeStruct((1, e), jnp.float32),
             jax.ShapeDtypeStruct((1, e), jnp.float32),
         ],
         compiler_params=_bwd_params(),
+        cost_estimate=_bwd_cost(b, d, l, e, heads),
         interpret=INTERPRET,
     )(xp, ln_scale[None].astype(x.dtype), ln_bias[None].astype(x.dtype),
-      w_kv.astype(x.dtype), qmat, sel, m, den, gp)
-    dx = dx[:, :, :l] if pad else dx
+      w_kv.astype(x.dtype), qmat, sel, m, den, gp, out)
+    dx = dx[:, :d, :l]
     # dQmat -> dquery: Qmat[e,h] = query[e]*mask[e,h] -> dquery[e] =
     # sum_h dQmat[e,h]*mask[e,h]; mask rows are one-hot so the sum picks
     # the owning head's entry
