@@ -36,6 +36,10 @@ class RunConfig:
     # reference; e.g. validate a ported released checkpoint). Phases are
     # still selected by opt_<phase>.epochs > 0
     eval_only: bool = False
+    # optional external experiment tracker, "module.path:factory" (see
+    # train/tracking.py). Replaces the reference's hardwired ClearML
+    # integration (run_experiment.py:41-64) with a dependency-free hook.
+    tracker: str | None = None
 
 
 @dataclass

@@ -89,6 +89,7 @@ class Experiment:
         self._writer = None
         self._saver = None  # lazy AsyncSaver (trainer.async_checkpoint)
         self._viz_fns: dict[str, Any] = {}  # jitted per-phase viz forwards
+        self._trackers = None  # lazy, rank-0 only (see train/tracking.py)
 
     # ------------------------------------------------------------------
     def _save_ckpt(self, phase: str, epoch: int, state, extra: dict):
@@ -115,6 +116,10 @@ class Experiment:
         if self._writer is not None:
             self._writer.close()
             self._writer = None
+        if self._trackers is not None:
+            for t in self._trackers:
+                t.close()
+            self._trackers = None
 
     # ------------------------------------------------------------------
     @property
@@ -135,13 +140,24 @@ class Experiment:
         self.writer.add_scalar(tag, value, step)
 
     def _append_jsonl(self, record: dict) -> None:
-        """Plain-file experiment tracking (ClearML-equivalent sink), rank 0."""
-        import json
+        """Experiment tracking (ClearML-equivalent sink), rank 0.
 
+        Always writes metrics.jsonl; an optional external tracker
+        (run.tracker / $MAESTRO_TRACKER) receives the same records — see
+        train/tracking.py.
+        """
         if not is_primary():
             return
-        with (self.workdir / "metrics.jsonl").open("a") as f:
-            f.write(json.dumps(record, default=float) + "\n")
+        if self._trackers is None:
+            from dataclasses import asdict
+
+            from maestro_tpu.train.tracking import build_trackers
+
+            self._trackers = build_trackers(
+                self.workdir, asdict(self.cfg), self.cfg.run.tracker,
+            )
+        for t in self._trackers:
+            t.log_record(record)
 
     def _log_images(self, phase, epoch, state, np_batch, rng) -> None:
         """Per-epoch image logging (reference train/logger.py ImageLogger).
@@ -629,7 +645,16 @@ class Experiment:
         return jax.device_put(v, NamedSharding(self.mesh, spec))
 
     def _run_eval_epoch(self, phase, state, eval_step, loader, rng):
-        """Returns (metrics dict, raw metric states or None)."""
+        """Returns (metrics dict, raw metric states or None).
+
+        Deliberate deviation from the reference: pretrain val masking folds
+        the same base ``rng`` by batch index every epoch, so every epoch
+        evaluates the same mask draw.  The reference's Lightning loop
+        advances its generator across epochs, making val loss a noisier
+        monitor; a fixed draw makes epoch-over-epoch val deltas attributable
+        to the model, not the mask lottery.  Set a per-epoch rng at the call
+        site to recover reference behavior.
+        """
         # device scalars are collected and fetched once after the loop:
         # float()-ing them per step would block the async dispatch pipeline
         losses = []
