@@ -108,17 +108,30 @@ class Experiment:
         if self._saver is not None:
             self._saver.wait()
 
-    def close(self) -> None:
-        """Release the async checkpointer thread and the TB writer."""
+    def close(self, *, trackers: bool = True) -> None:
+        """Release the async checkpointer thread and the TB writer.
+
+        ``trackers=False`` keeps external trackers alive across phases:
+        run_experiment calls this between phases (a ClearML-style tracker
+        must see ONE session per run, like the reference's single rank-0
+        task, reference run_experiment.py:41-64) and closes trackers once
+        after the phase loop.
+        """
         if self._saver is not None:
             self._saver.close()
             self._saver = None
         if self._writer is not None:
             self._writer.close()
             self._writer = None
-        if self._trackers is not None:
+        if trackers and self._trackers is not None:
             for t in self._trackers:
-                t.close()
+                try:
+                    t.close()
+                except Exception:
+                    log.exception(
+                        "external tracker %s raised in close(); ignoring",
+                        type(t).__name__,
+                    )
             self._trackers = None
 
     # ------------------------------------------------------------------
@@ -156,8 +169,28 @@ class Experiment:
             self._trackers = build_trackers(
                 self.workdir, asdict(self.cfg), self.cfg.run.tracker,
             )
+        # External trackers are best-effort (tracking.py's guarantee: a
+        # broken SaaS integration must never take down a multi-day run).
+        # The built-in JsonlTracker stays unguarded — losing the metrics
+        # record of a run IS an error worth surfacing.
+        from maestro_tpu.train.tracking import JsonlTracker
+
+        failed = []
         for t in self._trackers:
-            t.log_record(record)
+            if isinstance(t, JsonlTracker):
+                t.log_record(record)
+                continue
+            try:
+                t.log_record(record)
+            except Exception:
+                log.exception(
+                    "external tracker %s raised in log_record(); disabling "
+                    "it for the rest of the run (jsonl/TB sinks continue)",
+                    type(t).__name__,
+                )
+                failed.append(t)
+        for t in failed:
+            self._trackers.remove(t)
 
     def _log_images(self, phase, epoch, state, np_batch, rng) -> None:
         """Per-epoch image logging (reference train/logger.py ImageLogger).
@@ -739,6 +772,16 @@ def run_experiment(
         ("probe", cfg.opt_probe),
         ("finetune", cfg.opt_finetune),
     )
+    try:
+        _run_phases(cfg, datasets, exp, phase_opts, results)
+    finally:
+        exp.close()  # external trackers: one session per run (rank-0 task)
+    return results
+
+
+def _run_phases(cfg, datasets, exp, phase_opts, results) -> None:
+    from maestro_tpu.data.loader import make_loader
+
     for phase, opt in phase_opts:
         if opt.epochs <= 0:
             continue
@@ -775,8 +818,9 @@ def run_experiment(
             )
             break
         finally:
-            exp.close()  # saver thread + writer; re-created lazily per phase
-    return results
+            # saver thread + TB writer; re-created lazily per phase.
+            # Trackers stay open across phases (closed by run_experiment).
+            exp.close(trackers=False)
 
 
 # --------------------------------------------------------------------------

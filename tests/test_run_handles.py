@@ -91,6 +91,7 @@ def test_is_primary_gates_jsonl_and_writer(tmp_path, monkeypatch):
     exp.cfg = cfg
     exp.workdir = tmp_path
     exp._writer = None
+    exp._trackers = None
 
     monkeypatch.setattr(jax, "process_index", lambda: 1)
     exp._append_jsonl({"a": 1})

@@ -82,3 +82,64 @@ def test_env_var_spec(tmp_path, monkeypatch):
     monkeypatch.setenv("MAESTRO_TRACKER", f"{__name__}:make_tracker")
     trackers = tracking.build_trackers(tmp_path, {}, None)
     assert len(trackers) == 2
+
+
+class _RaisingTracker:
+    """External tracker that fails mid-run (transient SaaS/network error)."""
+
+    def __init__(self):
+        self.calls = 0
+
+    def log_record(self, record):
+        self.calls += 1
+        raise ConnectionError("SaaS down")
+
+    def close(self):
+        raise RuntimeError("close failed too")
+
+
+def _make_experiment_shell(tmp_path, trackers):
+    """Experiment with just the tracking surface wired (no model build)."""
+    from maestro_tpu.conf import ExperimentConfig
+    from maestro_tpu.train import runtime as rt
+
+    exp = rt.Experiment.__new__(rt.Experiment)
+    exp.cfg = ExperimentConfig()
+    exp.workdir = tmp_path
+    exp._writer = None
+    exp._saver = None
+    exp._trackers = trackers
+    return exp
+
+
+def test_raising_external_tracker_is_disabled_not_fatal(tmp_path):
+    """A log_record() failure in an external tracker must not crash the run
+    (tracking.py's documented guarantee); the tracker is dropped and the
+    jsonl sink keeps recording."""
+    bad = _RaisingTracker()
+    exp = _make_experiment_shell(
+        tmp_path, [tracking.JsonlTracker(tmp_path), bad],
+    )
+    exp._append_jsonl({"loss": 1.0})   # bad raises -> disabled
+    exp._append_jsonl({"loss": 0.5})   # bad no longer called
+    assert bad.calls == 1
+    rows = [json.loads(l) for l in (tmp_path / "metrics.jsonl").open()]
+    assert [r["loss"] for r in rows] == [1.0, 0.5]
+
+
+def test_raising_close_is_swallowed(tmp_path):
+    exp = _make_experiment_shell(tmp_path, [_RaisingTracker()])
+    exp.close()  # must not raise
+    assert exp._trackers is None
+
+
+def test_close_trackers_false_keeps_session_across_phases(tmp_path):
+    """run_experiment closes saver/writer between phases but keeps the
+    external tracker session open for the whole run (one rank-0 task,
+    reference run_experiment.py:41-64)."""
+    t = _RecordingTracker()
+    exp = _make_experiment_shell(tmp_path, [t])
+    exp.close(trackers=False)
+    assert exp._trackers is not None and not t.closed
+    exp.close()
+    assert exp._trackers is None and t.closed
