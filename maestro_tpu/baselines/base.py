@@ -69,7 +69,17 @@ class BaselineShell(nn.Module):
     seg_chunk_rows: int = 2
     dtype: Dtype = jnp.bfloat16
 
-    def make_heads(self) -> dict[str, nn.Module]:
+    def make_heads(
+        self, stream_grids: tuple[int, ...] | None = None,
+    ) -> dict[str, nn.Module]:
+        """Heads per target.  ``stream_grids`` overrides the native token
+        grid per feature stream for the segmentation head when the adapter's
+        streams differ from ``plan.mods`` (CROMA: S1/S2 only, plus the joint
+        tokens as an extra stream; reference croma.py:116-119)."""
+        if stream_grids is None:
+            stream_grids = tuple(
+                self.plan.mod_specs[m].grid for m in self.plan.mods
+            )
         heads = {}
         for hs in self.head_specs:
             if hs.type_target == "segment":
@@ -77,9 +87,7 @@ class BaselineShell(nn.Module):
                     type_head=self.type_head, dim=self.embed_dim,
                     num_classes=hs.num_classes, patch_size=hs.pixel_patch,
                     ref_grid=self.plan.mod_specs[self.ref_input].grid,
-                    mod_grids=tuple(
-                        self.plan.mod_specs[m].grid for m in self.plan.mods
-                    ),
+                    mod_grids=stream_grids,
                     chunk_rows=self.seg_chunk_rows,
                     dtype=self.dtype,
                 )

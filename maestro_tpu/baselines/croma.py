@@ -24,7 +24,6 @@ from maestro_tpu.baselines.base import BaselineShell, build_baseline_plan
 from maestro_tpu.conf.core import BaselineConfig
 from maestro_tpu.conf.datasets import DatasetsConfig
 from maestro_tpu.ops.posenc import encode_dates
-from maestro_tpu.ops.resize import resize_token_grid
 
 Dtype = Any
 
@@ -182,7 +181,27 @@ class CromaBaseline(BaselineShell):
                 CromaFFN(dim, dtype=self.dtype) for _ in range(depth // 2)
             ]
             self.cross_norm = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype)
-        self.heads = self.make_heads()
+        self._has_joint = (
+            self.has_s1 and self.has_s2
+            and self.fusion_mode_croma == "inter-croma"
+        )
+        # CROMA encodes only S1/S2 (other plan modalities are ignored, like
+        # the reference which raises on neither and never consumes extras,
+        # croma.py:121-131); joint tokens live on the shared encoder grid
+        # (the grid the 2-D ALiBi bias is built for) and the segmentation
+        # head treats them as one extra stream after the encoded modalities
+        self._streams = tuple(
+            m for m in self.plan.mods if m == "s2" or m.startswith("s1")
+        )
+        grids = tuple(self.plan.mod_specs[m].grid for m in self._streams)
+        if self._has_joint:
+            s1_mods = [m for m in self._streams if m.startswith("s1")]
+            shared = (
+                self.plan.mod_specs.get("s2")
+                or self.plan.mod_specs[s1_mods[0]]
+            )
+            grids = grids + (shared.grid,)
+        self.heads = self.make_heads(stream_grids=grids)
 
     def __call__(self, batch: dict, phase: str = "finetune") -> dict:
         batch = self.resize_and_rescale(batch)
@@ -249,27 +268,36 @@ class CromaBaseline(BaselineShell):
 
         return self._logits(feats, joint, phase)
 
+    def _seg_logits(self, xs: tuple, name: str) -> jnp.ndarray:
+        """Chunked segmentation over native-grid streams (joint appended) —
+        ChunkedSegHead does the per-chunk bilinear resize to the ref grid, so
+        the [B, sum(dates), ref_grid^2, E] tensor is never materialized
+        (same path as BaselineShell.compute_logits; reference semantics
+        croma.py:116-119,300-301 + base.py:19-217)."""
+        return self.heads[name](xs)
+
     def _logits(self, feats: dict, joint, phase: str) -> dict:
-        mods = list(feats)
-        x_ref = None
-        if self.ref_input is not None:
-            ref_grid = self.plan.mod_specs[self.ref_input].grid
-            parts = [
-                resize_token_grid(feats[m], ref_grid, "bilinear") for m in mods
-            ]
-            if joint is not None:
-                parts.append(resize_token_grid(joint, ref_grid, "bilinear"))
-            x_ref = jnp.concatenate(parts, axis=1)
-        flat = [feats[m].reshape(feats[m].shape[0], -1, self._dim) for m in mods]
+        # stream order must match setup's mod_grids: S1/S2 in plan order,
+        # joint last
+        streams = [feats[m] for m in self._streams]
         if joint is not None:
-            flat.append(joint.reshape(joint.shape[0], -1, self._dim))
-        x_cat = jnp.concatenate(flat, axis=1)
+            streams.append(joint)
+        x_cat = jnp.concatenate(
+            [s.reshape(s.shape[0], -1, self._dim) for s in streams], axis=1,
+        )
+        seg_fn = nn.remat(CromaBaseline._seg_logits, static_argnums=(2,))
         logits = {}
         for hs in self.head_specs:
-            f = x_ref if hs.type_target == "segment" else x_cat
-            if phase == "probe":
-                f = jax.lax.stop_gradient(f)
-            logits[hs.name] = self.heads[hs.name](f)
+            if hs.type_target == "segment":
+                f = tuple(streams)
+                if phase == "probe":
+                    f = jax.tree.map(jax.lax.stop_gradient, f)
+                logits[hs.name] = seg_fn(self, f, hs.name)
+            else:
+                f = x_cat
+                if phase == "probe":
+                    f = jax.lax.stop_gradient(f)
+                logits[hs.name] = self.heads[hs.name](f)
         return logits
 
 
