@@ -32,9 +32,11 @@ _TILE_ROWS = 256
 
 
 def _group_stats(t, start, size):
+    """Per-row mean + UNBIASED variance over one norm-group column slice
+    (torch ``.var()`` correction=1 default, reference model.py:228)."""
     grp = t[:, start : start + size]
     mean = jnp.mean(grp, axis=1, keepdims=True)
-    var = jnp.mean((grp - mean) ** 2, axis=1, keepdims=True)
+    var = jnp.sum((grp - mean) ** 2, axis=1, keepdims=True) / max(size - 1, 1)
     return grp, mean, var
 
 

@@ -46,7 +46,11 @@ def patch_group_normalize(
     The patch-group-wise normalization of reconstruction targets is one of the
     reference's two headline contributions (README.md:49-51); statistics are
     computed over (patch pixels x channels of the group) for every
-    (sample, date, patch location, band group) independently.
+    (sample, date, patch location, band group) independently.  Variance is
+    UNBIASED (ddof=1): the reference's ``target_group.var(dim=(-2,-1))``
+    (model.py:228) uses torch's correction=1 default — for the smallest
+    groups (S1/S2 p=2, n=4..16 elements) the biased estimator would scale
+    normalized targets by a real 3-7%.
     """
     b, d, c, hh, ww = target.shape
     g = hh // patch
@@ -60,7 +64,7 @@ def patch_group_normalize(
         grp = x[..., off : off + chans]
         off += chans
         mean = grp.mean(axis=(-2, -1), keepdims=True)
-        var = grp.var(axis=(-2, -1), keepdims=True)
+        var = grp.var(axis=(-2, -1), keepdims=True, ddof=1)
         parts.append((grp - mean) / jnp.sqrt(var + _EPS_NORM))
     x = jnp.concatenate(parts, axis=-1) if len(parts) > 1 else parts[0]
 

@@ -126,6 +126,45 @@ def test_token_space_gradients_flow():
     assert np.isfinite(gnorm) and gnorm > 0.0
 
 
+def test_patch_group_normalize_unbiased_variance_golden():
+    """Normalized targets match the reference's torch semantics exactly:
+    ``(t - mean) / sqrt(var + 1e-6)`` with ``target_group.var(dim=(-2,-1),
+    keepdim=True)`` — torch's UNBIASED (correction=1) default
+    (/root/reference/maestro/train/model.py:222-230).
+
+    Uses the smallest real norm group (p=2, 1 channel -> n=4 elements per
+    patch), where biased vs unbiased differ by sqrt(4/3) ~ 15% scale: this
+    test fails loudly if either the XLA path or the Pallas-fallback path
+    regresses to ddof=0.
+    """
+    torch = pytest.importorskip("torch")
+    from maestro_tpu.train.losses import patch_group_normalize
+
+    rng = np.random.default_rng(7)
+    t = rng.normal(size=(2, 3, 3, 6, 6)).astype(np.float32)  # [B,D,C,H,W]
+    p, norm_groups = 2, (1, 2)
+
+    got = np.asarray(patch_group_normalize(jnp.asarray(t), p, norm_groups))
+
+    tt = torch.from_numpy(t)
+    b, d, c, hh, ww = tt.shape
+    g = hh // p
+    x = tt.reshape(b, d, c, g, p, g, p)
+    x = x.permute(0, 1, 3, 5, 4, 6, 2).reshape(b, d, g * g, p * p, c)
+    off, parts = 0, []
+    for chans in norm_groups:
+        grp = x[..., off : off + chans]
+        off += chans
+        mean = grp.mean(dim=(-2, -1), keepdim=True)
+        var = grp.var(dim=(-2, -1), keepdim=True)  # torch default: unbiased
+        parts.append((grp - mean) / (var + 1e-6) ** 0.5)
+    x = torch.cat(parts, dim=-1)
+    x = x.reshape(b, d, g, g, p, p, c).permute(0, 1, 6, 2, 4, 3, 5)
+    want = x.reshape(b, d, c, hh, ww).numpy()
+
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
 def test_reconstruction_loss_matches_torch_reference():
     """Golden parity of the patch-group-norm masked loss vs torch semantics.
 
@@ -158,7 +197,10 @@ def test_reconstruction_loss_matches_torch_reference():
             grp = tp[..., off : off + chans]
             off += chans
             mean = grp.mean(dim=(-2, -1), keepdim=True)
-            var = grp.var(dim=(-2, -1), keepdim=True, unbiased=False)
+            # torch DEFAULT correction=1 (unbiased), exactly as the
+            # reference writes it (model.py:228) — this parity test fails
+            # if the repo regresses to the biased (ddof=0) estimator
+            var = grp.var(dim=(-2, -1), keepdim=True)
             parts.append((grp - mean) / torch.sqrt(var + 1e-6))
         tp = torch.cat(parts, dim=-1)
 

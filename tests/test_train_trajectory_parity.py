@@ -198,6 +198,159 @@ def test_trajectory_exact_lr_table(setup):
     assert _max_rel(ema, setup["t_ema"]) < 4e-3
 
 
+@pytest.fixture(scope="module")
+def pretrain_setup(datasets_treesat):
+    """Torch 20-step PRETRAIN trajectory: patch-group-norm l1 rec loss over
+    every pixel (masking disabled via NO_MASK; the mask tensor is all-ones on
+    both sides so the loss is non-vacuous), AdamW + OneCycleLR exactly as the
+    reference pretrain recipe (model.py:120-158 + 195-247)."""
+    cfg = ModelConfig(model_size="micro", fusion_mode="group", inter_depth=1)
+    model, plan = build_model(datasets_treesat, NO_MASK, cfg,
+                              dtype=jnp.float32)
+    torch.manual_seed(29)
+    tmodel = TorchMAE(plan, MAE_ARCHS["micro"], cfg.inter_depth,
+                      model.head_specs)
+    batches = [
+        make_synthetic_batch(datasets_treesat.dataset, BS, seed=300 + s)
+        for s in range(N_STEPS)
+    ]
+    jb = {k: jnp.asarray(v) for k, v in batches[0].items()}
+    key = jax.random.PRNGKey(0)
+    p_pre = model.init({"params": key, "mask": key}, jb, "pretrain")
+    p_probe = model.init({"params": key, "mask": key}, jb, "probe")
+    template = {"params": {**p_probe["params"], **p_pre["params"]}}
+    params0 = _port(tmodel, plan, model, template)
+
+    from maestro_tpu.conf.core import OptPretrainConfig
+
+    opt_cfg = OptPretrainConfig(batch_size=BS, accumulate_grad_batches=1)
+    peak = lr_for(opt_cfg, num_devices=1)
+
+    def torch_rec_loss(rec, batch):
+        """Reference compute_loss_rec (model.py:195-247), mask all-True:
+        per-patch band-group normalization with torch's UNBIASED var
+        default, l1, per-modality mean weighted by D * grid^2."""
+        total, weights = 0.0, 0.0
+        for name, spec in plan.mod_specs.items():
+            t = torch.from_numpy(np.asarray(batch[name])).float()
+            b, d, c, hh, ww = t.shape
+            p = spec.patch_size
+            g = hh // p
+            x = t.reshape(b, d, c, g, p, g, p)
+            x = x.permute(0, 1, 3, 5, 4, 6, 2).reshape(b, d, g * g, p * p, c)
+            off, parts = 0, []
+            for chans in spec.norm_groups:
+                grp = x[..., off : off + chans]
+                off += chans
+                mean = grp.mean(dim=(-2, -1), keepdim=True)
+                var = grp.var(dim=(-2, -1), keepdim=True)  # correction=1
+                parts.append((grp - mean) / (var + 1e-6) ** 0.5)
+            x = torch.cat(parts, dim=-1)
+            x = x.reshape(b, d, g, g, p, p, c).permute(0, 1, 6, 2, 4, 3, 5)
+            target = x.reshape(b, d, c, hh, ww)
+            weight = spec.num_dates * spec.tokens_per_date
+            total = total + weight * torch.abs(target - rec[name]).mean()
+            weights += weight
+        return total / weights
+
+    opt = torch.optim.AdamW(
+        tmodel.parameters(), lr=peak, weight_decay=opt_cfg.wd,
+        betas=(opt_cfg.b1, opt_cfg.b2),
+    )
+    sched = torch.optim.lr_scheduler.OneCycleLR(
+        opt, max_lr=peak, total_steps=N_STEPS, pct_start=0.2,
+        cycle_momentum=False, div_factor=1000,
+        final_div_factor=1e7 / 1000.0,  # non-finetune final_factor (optim.py)
+    )
+    t_losses, t_lrs = [], []
+    for b in batches:
+        t_lrs.append(opt.param_groups[0]["lr"])
+        rec = tmodel(b, "pretrain")
+        loss = torch_rec_loss(rec, b)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        sched.step()
+        t_losses.append(float(loss.detach()))
+    t_final = _port(tmodel, plan, model, template)
+
+    return {
+        "model": model, "plan": plan, "params0": params0,
+        "batches": batches, "opt_cfg": opt_cfg,
+        "t_losses": np.asarray(t_losses), "t_lrs": np.asarray(t_lrs),
+        "t_final": t_final,
+    }
+
+
+@pytest.mark.parametrize("fused", [False, True], ids=["xla", "fused"])
+def test_pretrain_trajectory_exact_lr_table(pretrain_setup, fused):
+    """20 pretrain steps trajectory-locked to torch: the rec-loss path
+    (patch-group-norm UNBIASED variance + l1 + grads through the decoder)
+    must reproduce torch's per-step losses and final params; fused and
+    unfused loss paths both."""
+    from maestro_tpu.ops.fused_loss import fused_reconstruction_loss
+    from maestro_tpu.train.losses import reconstruction_loss
+
+    s = pretrain_setup
+    model, plan, opt_cfg = s["model"], s["plan"], s["opt_cfg"]
+    table = jnp.asarray(s["t_lrs"], dtype=jnp.float32)
+    adamw = optax.adamw(
+        learning_rate=lambda count: table[jnp.minimum(count, N_STEPS - 1)],
+        b1=opt_cfg.b1, b2=opt_cfg.b2, weight_decay=opt_cfg.wd,
+    )
+    roles = trainable_roles("pretrain")
+    tx = optax.multi_transform(
+        {
+            role: adamw if role in roles else optax.set_to_zero()
+            for role in ("backbone", "decoder", "head")
+        },
+        param_labels(s["params0"]),
+    )
+    loss_impl = fused_reconstruction_loss if fused else reconstruction_loss
+
+    def loss_fn(params, batch):
+        pixels, masks, targets = model.apply(
+            params, batch, "pretrain", rngs={"mask": jax.random.PRNGKey(1)},
+        )
+        ones = jax.tree.map(jnp.ones_like, masks)
+        if fused:
+            return loss_impl(plan, targets, pixels, ones, "l1_norm",
+                             stage_dtype=jnp.float32)
+        return loss_impl(plan, targets, pixels, ones, "l1_norm")
+
+    @jax.jit
+    def step(state, batch):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch)
+        updates, opt_state = tx.update(grads, state.opt_state, state.params)
+        params = optax.apply_updates(state.params, updates)
+        return state.replace(
+            step=state.step + 1, params=params, opt_state=opt_state,
+        ), loss
+
+    state = TrainState.create(s["params0"], tx)
+    losses = []
+    for b in s["batches"]:
+        jb = {k: jnp.asarray(v) for k, v in b.items()}
+        state, loss = step(state, jb)
+        losses.append(float(loss))
+
+    np.testing.assert_allclose(
+        np.asarray(losses), s["t_losses"], rtol=2e-4, atol=2e-5,
+        err_msg="per-step pretrain rec-loss trajectory",
+    )
+    assert _max_rel(state.params, s["t_final"]) < 2e-3
+
+    # heads are not in the pretrain graph: torch skips grad=None params,
+    # ours label them set_to_zero -> bit-identical
+    for sub in state.params["params"]:
+        if sub.startswith("heads_"):
+            same = jax.tree.map(
+                lambda a, b: bool(jnp.array_equal(a, b)),
+                state.params["params"][sub], s["params0"]["params"][sub],
+            )
+            assert all(jax.tree.leaves(same)), f"{sub} drifted in pretrain"
+
+
 def test_trajectory_shipped_optimizer(setup):
     """The as-shipped make_optimizer chain reproduces the torch trajectory
     within the documented OneCycle rounding deviation."""
