@@ -26,6 +26,8 @@ from maestro_tpu.conf.datasets import DatasetsConfig
 Dtype = Any
 
 PRITHVI_ARCHS = {
+    # "micro" is a test-only size for fast CPU CI; not a Prithvi release
+    "micro": (64, 2, 2),
     "base": (768, 12, 12),  # v1 / 100M
     "large": (1024, 24, 16),  # v2 / 300M
 }
@@ -134,6 +136,8 @@ def build_prithvi(
         raise ValueError(msg)
     version = cfg.version or ("v2" if cfg.model_size == "large" else "v1")
     allowed = {("base", "v1", False), ("large", "v2", False), ("large", "v2", True)}
+    if cfg.model_size == "micro":  # test-only size: any combo
+        allowed = {("micro", version, cfg.add_date_enc)}
     if (cfg.model_size, version, cfg.add_date_enc) not in allowed:
         msg = (
             f"Unsupported Prithvi combo size={cfg.model_size} version={version} "

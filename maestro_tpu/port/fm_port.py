@@ -71,6 +71,112 @@ def port_satmae(src: dict[str, np.ndarray], depth: int) -> dict:
     return {"params": params}
 
 
+def port_dofa(
+    src: dict[str, np.ndarray],
+    depth: int,
+    mods: tuple[str, ...],
+    encoders: tuple[str, ...] = ("shared",),
+) -> dict:
+    """DOFA released checkpoint (torchgeo OFAViT layout) -> DOFABaseline.
+
+    Source keys (reference baselines/dofa.py:460-678: Dynamic_MLP_OFA's
+    ``weight_generator`` TransformerWeightGenerator + ``fclayer`` FCResLayer,
+    timm blocks, pos_embed/cls_token/norm).  The reference transfers the ONE
+    released patch_embed + pos_embed into EVERY modality's embedder
+    (dofa.py:202-204); we replicate the same tree per modality.
+    """
+    wg = "patch_embed.weight_generator."
+    te = f"{wg}transformer_encoder.layers.0."
+    embed = {
+        "weight_tokens": src[f"{wg}weight_tokens"],
+        "bias_token": src[f"{wg}bias_token"],
+        "fc_weight": {"kernel": _linear(src[f"{wg}fc_weight.weight"]),
+                      "bias": src[f"{wg}fc_weight.bias"]},
+        "fc_bias": {"kernel": _linear(src[f"{wg}fc_bias.weight"]),
+                    "bias": src[f"{wg}fc_bias.bias"]},
+        "fcres_w1": {"kernel": _linear(src["patch_embed.fclayer.w1.weight"]),
+                     "bias": src["patch_embed.fclayer.w1.bias"]},
+        "fcres_w2": {"kernel": _linear(src["patch_embed.fclayer.w2.weight"]),
+                     "bias": src["patch_embed.fclayer.w2.bias"]},
+        "weight_gen": {
+            # torch TransformerEncoderLayer (norm_first=False): fused
+            # in_proj -> qkv, out_proj -> proj, linear1/2 -> fc1/fc2
+            "qkv": {"kernel": _linear(src[f"{te}self_attn.in_proj_weight"]),
+                    "bias": src[f"{te}self_attn.in_proj_bias"]},
+            "proj": {"kernel": _linear(src[f"{te}self_attn.out_proj.weight"]),
+                     "bias": src[f"{te}self_attn.out_proj.bias"]},
+            "norm1": {"scale": src[f"{te}norm1.weight"],
+                      "bias": src[f"{te}norm1.bias"]},
+            "norm2": {"scale": src[f"{te}norm2.weight"],
+                      "bias": src[f"{te}norm2.bias"]},
+            "fc1": {"kernel": _linear(src[f"{te}linear1.weight"]),
+                    "bias": src[f"{te}linear1.bias"]},
+            "fc2": {"kernel": _linear(src[f"{te}linear2.weight"]),
+                    "bias": src[f"{te}linear2.bias"]},
+        },
+    }
+    params: dict = {"cls_token": src["cls_token"]}
+    for m in mods:
+        params[f"embedders_{m}"] = embed
+        params[f"pos_{m}"] = src["pos_embed"]
+    blocks = map_timm_blocks(src, depth)
+    for enc in encoders:
+        for i, b in enumerate(blocks.values()):
+            params[f"blocks_{enc}_{i}"] = b
+    if "norm.weight" in src:
+        params["final_norm"] = {"scale": src["norm.weight"],
+                                "bias": src["norm.bias"]}
+    return {"params": params}
+
+
+def port_prithvi(
+    src: dict[str, np.ndarray],
+    depth: int,
+    bands: tuple[int, ...],
+    std: float = 0.01,
+    seed: int = 0,
+) -> dict:
+    """Prithvi-EO released checkpoint (terratorch PrithviViT layout) ->
+    PrithviBaseline params, with the reference's HLS->S2 channel surgery.
+
+    The released Conv3d patch kernel [E, 6, 1, p, p] covers the six HLS
+    bands ORIG_BANDS = (0, 1, 2, 6, 8, 9) as S2 band indices; dataset bands
+    present in ORIG_BANDS take the pretrained kernel slices, the rest get
+    N(0, 0.01) init (reference prithvi.py:154-182).  Tubelet size is 1, so
+    the Conv3d is exactly a per-date dense over (C, ph, pw) features.
+    ``temporal_embed_enc`` (the v2 "_tl" temporal encoder linear) maps to
+    ``temp_proj`` when present.
+    """
+    from maestro_tpu.baselines.prithvi import ORIG_BANDS
+
+    conv = src["patch_embed.proj.weight"]  # [E, 6, 1, p, p]
+    e, _, _, p, _ = conv.shape
+    rng = np.random.default_rng(seed)
+    full = rng.normal(0.0, std, (e, len(bands), p, p)).astype(conv.dtype)
+    orig_idx = [i for i, b in enumerate(ORIG_BANDS) if b in bands]
+    new_idx = [list(bands).index(ORIG_BANDS[i]) for i in orig_idx]
+    full[:, new_idx] = conv[:, orig_idx, 0]
+
+    params: dict = {
+        "patch_proj": {
+            "kernel": full.reshape(e, -1).T,  # (C, ph, pw) feature order
+            "bias": src["patch_embed.proj.bias"],
+        },
+        "cls_token": src["cls_token"],
+        **{f"blocks_{i}": b
+           for i, b in enumerate(map_timm_blocks(src, depth).values())},
+    }
+    if "temporal_embed_enc.weight" in src:
+        params["temp_proj"] = {
+            "kernel": _linear(src["temporal_embed_enc.weight"]),
+            "bias": src["temporal_embed_enc.bias"],
+        }
+    if "norm.weight" in src:
+        params["final_norm"] = {"scale": src["norm.weight"],
+                                "bias": src["norm.bias"]}
+    return {"params": params}
+
+
 def port_croma(src: dict[str, np.ndarray]) -> dict:
     """CROMA released checkpoint dict -> CromaBaseline params.
 

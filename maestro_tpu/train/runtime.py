@@ -63,6 +63,42 @@ class PhaseResult:
     history: list[dict] = field(default_factory=list)
 
 
+_TORCH_SUFFIXES = (".pt", ".pth", ".ckpt", ".bin", ".safetensors")
+
+
+def _resolve_pretrained_path(path: str, is_baseline: bool) -> str:
+    """Validate ``model.pretrained_path`` (FM released-weights warm start).
+
+    The reference passes pretrained_path straight into each adapter's torch
+    loader (e.g. croma.py:386-436); here the torch->flax surgery runs once
+    offline (scripts/port_fm.py) and training consumes the resulting orbax
+    checkpoint — this fails LOUDLY rather than silently ignoring the config.
+    """
+    if not is_baseline:
+        msg = (
+            "model.pretrained_path is consumed by baseline FM adapters; for "
+            "flagship MAE checkpoints use run.load_name / run.load_ckpt_path "
+            "(reference run_experiment.py:66-74 load_from_checkpoint)."
+        )
+        raise ValueError(msg)
+    p = Path(path)
+    if p.suffix.lower() in _TORCH_SUFFIXES:
+        msg = (
+            f"model.pretrained_path={path!r} looks like a torch checkpoint; "
+            "port it first: python scripts/port_fm.py --ckpt <file> --out "
+            "<dir> model.model=... , then set model.pretrained_path="
+            "<dir>/fm-epoch=0"
+        )
+        raise ValueError(msg)
+    if not (p / "state").exists():
+        msg = (
+            f"model.pretrained_path={path!r} has no 'state' subdirectory — "
+            "expected an orbax checkpoint emitted by scripts/port_fm.py"
+        )
+        raise FileNotFoundError(msg)
+    return str(p)
+
+
 class Experiment:
     """One experiment = one model trained through up to three phases."""
 
@@ -86,6 +122,10 @@ class Experiment:
                               cfg.trainer.mesh_replica)
         self.params = None  # lazily initialized per phase (heads appear on use)
         self._warm_start: str | None = None  # load_* weights-only path
+        if cfg.model.pretrained_path:
+            self._warm_start = _resolve_pretrained_path(
+                cfg.model.pretrained_path, self.is_baseline,
+            )
         self._writer = None
         self._saver = None  # lazy AsyncSaver (trainer.async_checkpoint)
         self._viz_fns: dict[str, Any] = {}  # jitted per-phase viz forwards
@@ -306,8 +346,10 @@ class Experiment:
             # carry weights forward between phases (strict=False merge)
             fresh = _merge_params(self.params, fresh)
         elif self._warm_start:
-            fresh = ckpt.load_weights(self._warm_start, fresh)
-            log.info("warm-started weights from %s", self._warm_start)
+            unmatched: list = []
+            fresh = ckpt.load_weights(self._warm_start, fresh, unmatched)
+            log.info("warm-started weights from %s (%d leaves kept fresh "
+                     "init)", self._warm_start, len(unmatched))
         return fresh
 
     def _device_batch(self, np_batch: dict) -> dict:
@@ -764,6 +806,12 @@ def run_experiment(
 
     # warm start from a previous experiment's weights (applied at first init)
     if cfg.run.load_ckpt_path:
+        if exp._warm_start:
+            msg = (
+                "both run.load_ckpt_path and model.pretrained_path are set; "
+                "pick one warm-start source"
+            )
+            raise ValueError(msg)
         exp._warm_start = cfg.run.load_ckpt_path
 
     results: dict[str, PhaseResult] = {}

@@ -44,7 +44,7 @@ PASTIS_CASES = [
                                    fusion_mode="inter-croma")),
     ("satmae", BaselineConfig(model="satmae", model_size="micro",
                               fusion_mode="mod")),
-    ("prithvi", BaselineConfig(model="prithvi", model_size="large",
+    ("prithvi", BaselineConfig(model="prithvi", model_size="micro",
                                fusion_mode="mod", version="v2")),
 ]
 
