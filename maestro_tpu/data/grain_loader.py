@@ -19,8 +19,28 @@ except ImportError:  # pragma: no cover
     HAS_GRAIN = False
 
 
+class _Reindexed:
+    """Map-style view ``dataset[order[i]]`` (picklable for mp_prefetch)."""
+
+    def __init__(self, dataset, order) -> None:
+        self.dataset, self.order = dataset, order
+
+    def __len__(self) -> int:
+        return len(self.order)
+
+    def __getitem__(self, i):
+        return self.dataset[int(self.order[i])]
+
+
 class GrainBatchLoader:
-    """Iterable over collated numpy batches via grain (multiprocess)."""
+    """Iterable over collated numpy batches via grain (multiprocess).
+
+    Produces the IDENTICAL (shuffle-then-stride) sample partition as
+    ``EOBatchLoader`` for the same (seed, epoch, shard), so the loader choice
+    is pure performance and mixed-loader hosts can never desynchronize the
+    sample streams.  The runtime still pins ONE loader per run (see
+    ``data.loader.pin_loader``) and records it in checkpoint meta.
+    """
 
     def __init__(
         self,
@@ -61,22 +81,24 @@ class GrainBatchLoader:
         if hasattr(self.dataset, "set_epoch"):
             # workers pickle the dataset, so the epoch travels with it
             self.dataset.set_epoch(self._epoch)
-        ds = grain.MapDataset.source(self.dataset)
-        if self.shard_count > 1:
-            ds = ds[self.shard_index :: self.shard_count]
+        # global shuffle with the SAME rng derivation as EOBatchLoader._batches
+        # (np rng seeded [seed, epoch]), THEN stride-shard — identical
+        # partition, so threads<->grain is a pure performance choice
+        order = np.arange(len(self.dataset))
         if self.shuffle:
-            ds = ds.shuffle(seed=self.seed + self._epoch)
+            np.random.default_rng([self.seed, self._epoch]).shuffle(order)
         if self.shard_count > 1:
-            # strided shards differ by up to one sample; under drop_remainder
-            # that can give hosts different batch counts and deadlock SPMD
-            # collectives at epoch end. Truncate every host to the uniform
-            # length (after the shuffle, so the dropped sample rotates).
-            ds = ds[: len(self.dataset) // self.shard_count]
+            order = order[self.shard_index :: self.shard_count]
+        # truncate every host to the uniform batch count (strided shards
+        # differ by up to one sample; unequal counts deadlock SPMD
+        # collectives at epoch end) — same arithmetic as EOBatchLoader
+        order = order[: len(self) * self.batch_size]
         if self._auto_epoch:
             self._epoch += 1
         if self.skip_batches:
-            ds = ds[self.skip_batches * self.batch_size :]  # skip pre-decode
+            order = order[self.skip_batches * self.batch_size :]
             self.skip_batches = 0
+        ds = grain.MapDataset.source(_Reindexed(self.dataset, order))
         ds = ds.batch(self.batch_size, drop_remainder=self.drop_last)
         it = ds.to_iter_dataset()
         if self.num_workers > 1:

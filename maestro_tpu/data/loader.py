@@ -152,6 +152,30 @@ def resolve_loader(data_cfg) -> str:
     return "threads"
 
 
+def pin_loader(data_cfg) -> str:
+    """Resolve ``data_cfg.loader`` ONCE for the whole run and pin it.
+
+    ``resolve_loader`` consults ``os.cpu_count()``, which differs across
+    heterogeneous hosts — process 0's choice is broadcast so every host uses
+    the same pipeline, and the concrete value is written back into
+    ``data_cfg.loader`` so ``config_resolved.json`` and checkpoint meta
+    record it (an interrupted run must resume under the same loader;
+    fit_phase refuses otherwise).  Idempotent once pinned.
+    """
+    choice = resolve_loader(data_cfg)
+    import jax
+
+    if jax.process_count() > 1:
+        import numpy as np
+        from jax.experimental import multihost_utils
+
+        code = np.asarray([1 if choice == "grain" else 0], np.int32)
+        code = multihost_utils.broadcast_one_to_all(code)
+        choice = "grain" if int(code[0]) else "threads"
+    data_cfg.loader = choice
+    return choice
+
+
 def make_loader(
     datasets_cfg,
     data_cfg,

@@ -63,6 +63,30 @@ class PhaseResult:
     history: list[dict] = field(default_factory=list)
 
 
+def _check_resume_loader(meta: dict, data_cfg) -> None:
+    """Refuse to resume an interrupted epoch under a different loader.
+
+    The ``batches_done`` fast-forward replays the per-(seed, epoch) sample
+    order; both shipped loaders now produce the identical shuffle-then-stride
+    partition, but the recorded choice is still enforced so a future loader
+    (or a version drift) can never silently retrain / skip samples.
+    """
+    saved = meta.get("loader")
+    if not (meta.get("interrupted") and saved):
+        return
+    from maestro_tpu.data.loader import resolve_loader
+
+    current = resolve_loader(data_cfg)
+    if saved != current:
+        msg = (
+            f"checkpoint was interrupted under data.loader={saved!r} but "
+            f"this run resolves to {current!r}; set data.loader={saved!r} "
+            "to resume (the batches_done fast-forward assumes the recorded "
+            "loader's sample order)"
+        )
+        raise ValueError(msg)
+
+
 _TORCH_SUFFIXES = (".pt", ".pth", ".ckpt", ".bin", ".safetensors")
 
 
@@ -418,6 +442,7 @@ class Experiment:
         if resume_path:
             state = ckpt.restore_state(resume_path, state)
             meta = ckpt.load_meta(resume_path)
+            _check_resume_loader(meta, cfg.data)
             done = ckpt.checkpoint_epoch(resume_path)
             if done is not None:
                 # a regular checkpoint marks a COMPLETED epoch -> continue at
@@ -487,11 +512,16 @@ class Experiment:
                 # graceful preemption: persist mid-epoch (before the
                 # epoch-level EMA update - the epoch is incomplete) and stop;
                 # run.fit_name/fit_phase resumes this epoch at batches_done
+                from maestro_tpu.data.loader import resolve_loader
+
                 path = self._save_ckpt(
                     phase, epoch, state,
                     extra={"epoch": epoch, "phase": phase,
                            "interrupted": True,
-                           "batches_done": batches_done},
+                           "batches_done": batches_done,
+                           # batches_done fast-forward assumes the identical
+                           # sample order — the resume must use this loader
+                           "loader": resolve_loader(cfg.data)},
                 )
                 self._ckpt_barrier()  # durable before the process exits
                 self.params = jax.tree.map(lambda x: x, state.params)
@@ -794,12 +824,13 @@ def run_experiment(
     workdir: str | Path | None = None,
 ) -> dict[str, PhaseResult]:
     """Sequence pretrain -> probe -> finetune (reference run_experiment.py)."""
-    from maestro_tpu.data.loader import make_loader
+    from maestro_tpu.data.loader import pin_loader
     from maestro_tpu.parallel.distributed import initialize_distributed
 
     initialize_distributed()  # no-op single-host; wires DCN rendezvous on pods
     preempt.install_handlers()  # SIGTERM/SIGINT -> checkpoint + clean exit
     resolve_run_handles(cfg.run)
+    pin_loader(cfg.data)  # one loader per run, agreed across hosts
 
     workdir = Path(workdir or Path(cfg.run.exp_dir) / cfg.run.exp_name)
     exp = Experiment(cfg, datasets, workdir)

@@ -118,6 +118,12 @@ def main(argv: list[str] | None = None) -> None:
         np.random.seed(cfg.run.seed)
     cfg.run.exp_uuid = cfg.run.exp_uuid or _shared_uuid()
 
+    # pin data.loader="auto" to one concrete choice for the whole run BEFORE
+    # dumping the resolved config, so the record shows what actually ran
+    from maestro_tpu.data.loader import pin_loader
+
+    pin_loader(cfg.data)
+
     workdir = Path(cfg.run.exp_dir) / cfg.run.exp_name / cfg.run.exp_uuid
     workdir.mkdir(parents=True, exist_ok=True)
     if is_primary():
