@@ -1,0 +1,80 @@
+"""Analytic model-FLOPs accounting (utils/flops.py) sanity.
+
+The strict-MFU denominator must track the static plan geometry: linear in
+batch, cheaper under masking, frozen-encoder probe cheaper than finetune,
+and within a plausible band of XLA's own executed-flops count (XLA counts
+padding and per-op overheads but undercounts scan bodies, so the band is
+loose in both directions — gross unit errors like a missing 2x or a wrong
+sequence length land far outside it).
+"""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from maestro_tpu.conf import (
+    DatasetsConfig,
+    MaskConfig,
+    ModelConfig,
+    OptPretrainConfig,
+)
+from maestro_tpu.models.mae import MAE_ARCHS, build_model
+from maestro_tpu.utils.flops import mae_model_flops
+
+
+@pytest.fixture(scope="module")
+def built(datasets_treesat):
+    model, plan = build_model(
+        datasets_treesat, MaskConfig(),
+        ModelConfig(model_size="small", fusion_mode="group", inter_depth=3),
+        dtype=jnp.float32,
+    )
+    return model, plan, datasets_treesat
+
+
+def _flops(built, phase, bs):
+    model, plan, datasets = built
+    return mae_model_flops(plan, MAE_ARCHS["small"], 3, phase, bs,
+                           model.head_specs, datasets.dataset.ref_input)
+
+
+def test_linear_in_batch(built):
+    assert _flops(built, "pretrain", 8) == pytest.approx(
+        2 * _flops(built, "pretrain", 4), rel=1e-9,
+    )
+
+
+def test_phase_ordering(built):
+    """Masked pretrain encoder < full-length; frozen probe < finetune."""
+    probe = _flops(built, "probe", 4)
+    finetune = _flops(built, "finetune", 4)
+    assert probe < finetune  # same graph, encoder fwd-only in probe
+    # finetune backprops everything: exactly 3x the probe's encoder cost gap
+    assert finetune / probe > 1.5
+
+
+def test_within_band_of_xla_count(built):
+    """Analytic count within [0.5, 1.5] of XLA's executed-flops count for
+    the real pretrain step (CPU-compiled, small arch)."""
+    from maestro_tpu.train.optim import make_optimizer
+    from maestro_tpu.train.state import TrainState
+    from maestro_tpu.train.steps import make_pretrain_step
+    from maestro_tpu.utils.testing import make_synthetic_batch
+
+    model, plan, datasets = built
+    bs = 2
+    batch = {k: jnp.asarray(v) for k, v in
+             make_synthetic_batch(datasets.dataset, bs).items()}
+    key = jax.random.PRNGKey(0)
+    params = jax.jit(
+        lambda b: model.init({"params": key, "mask": key}, b, "pretrain"),
+    )(batch)
+    tx = make_optimizer(OptPretrainConfig(batch_size=bs), "pretrain",
+                        total_steps=10, params=params)
+    state = TrainState.create(params, tx)
+    step = make_pretrain_step(model, plan, tx, donate=False)
+    xla = step.lower(state, batch, key).compile().cost_analysis().get(
+        "flops", 0.0,
+    )
+    analytic = _flops(built, "pretrain", bs)
+    assert 0.5 < analytic / xla < 1.5, (analytic, xla)
