@@ -539,7 +539,13 @@ class Experiment:
             epoch_log = {
                 "epoch": epoch,
                 "time_s": round(time.time() - t0, 2),
-                "lr": float(lr_schedule(max(int(state.step) - 1, 0))),
+                # state.step counts micro-steps; the schedule (and optax's
+                # inner count under MultiSteps) advances once per OPTIMIZER
+                # step, i.e. every accumulate_grad_batches micro-steps
+                "lr": float(lr_schedule(max(
+                    int(state.step) // max(opt.accumulate_grad_batches, 1) - 1,
+                    0,
+                ))),
                 **{f"train/{k}": v for k, v in train_logs.items()},
                 **{f"val/{k}": v for k, v in _flat_metrics(val_logs).items()},
             }
