@@ -28,6 +28,20 @@ PEAK_FLOPS = {
 
 import os
 
+# Persistent XLA compile cache (same dir + opt-out as tests/conftest.py):
+# repeated bench invocations of the same config then skip the multi-minute
+# remote compile, which dominates wall time through the device tunnel.
+if os.environ.get("MAESTRO_TEST_NO_COMPILE_CACHE", "0").lower() not in (
+    "1", "true", "yes",
+):
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get(
+            "MAESTRO_JAX_CACHE_DIR",
+            os.path.expanduser("~/.cache/maestro_tpu_jax"),
+        ),
+    )
+
 PHASE = os.environ.get("BENCH_PHASE", "pretrain")  # pretrain|probe|finetune
 # finetune runs full-length streams: bs32 + remat=mlp is its measured v5e
 # ceiling (docs/PERFORMANCE.md); bs48 no-remat is the pretrain sweet spot

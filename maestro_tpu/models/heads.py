@@ -139,9 +139,20 @@ class ChunkedSegHead(nn.Module):
         if n > 1:
             # remat-scan: without remat on the body, scan's autodiff stacks
             # every iteration's residuals — rebuilding the full date-stacked
-            # grid the chunking exists to avoid
+            # grid the chunking exists to avoid.  The policy keeps the fused
+            # pool's named residuals (out/m/den, ~L*E per chunk — see
+            # ops/attn_pool._vjp_fwd): the recompute pass then only replays
+            # the resize einsum that rebuilds x, not the pool kernel itself,
+            # which was a full quarter of the pool's step time (the r4 probe
+            # trace showed the fwd pallas_call twice per chunk at 27.5 ms a
+            # pass).
             scan = nn.scan(
-                nn.remat(ChunkedSegHead._chunk),
+                nn.remat(
+                    ChunkedSegHead._chunk,
+                    policy=jax.checkpoint_policies.save_only_these_names(
+                        "attn_pool_residuals",
+                    ),
+                ),
                 variable_broadcast="params",
                 split_rngs={"params": False},
                 in_axes=(0, nn.broadcast), out_axes=0,

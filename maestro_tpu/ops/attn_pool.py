@@ -34,6 +34,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+from jax.ad_checkpoint import checkpoint_name
 from jax.experimental import pallas as pl
 
 INTERPRET = False
@@ -70,8 +71,14 @@ def _ln_fwd(xd, scale, bias, eps):
 
 def _fwd_kernel(x_ref, scale_ref, bias_ref, wkv_ref, qmat_ref, s_ref,
                 o_ref, m_ref, den_ref, *, eps, sm_scale):
-    d = x_ref.shape[1]
+    # nb batch elements per grid cell: in the seg-chunk regime the position
+    # block is l=64, and a 64-row matmul M dim leaves half the 128-wide MXU
+    # idle — stacking batch rows restores a full M without touching the
+    # online-softmax math (every row is an independent (batch, position)
+    # pair; the date axis stays the only sequential one)
+    nb, d = x_ref.shape[0], x_ref.shape[1]
     bl, e = x_ref.shape[2], x_ref.shape[3]
+    rows = nb * bl
     h = qmat_ref.shape[1]
     scale = scale_ref[...].astype(jnp.float32)  # [1, E]
     bias = bias_ref[...].astype(jnp.float32)
@@ -79,20 +86,20 @@ def _fwd_kernel(x_ref, scale_ref, bias_ref, wkv_ref, qmat_ref, s_ref,
 
     def date_step(di, carry):
         m, den, acc = carry
-        y, _, _ = _ln_fwd(x_ref[0, di], scale, bias, eps)
+        y, _, _ = _ln_fwd(x_ref[:, di].reshape(rows, e), scale, bias, eps)
         kv = jax.lax.dot(
             y.astype(x_ref.dtype), wkv_ref[...],
             preferred_element_type=jnp.float32,
-        )  # [BL, 2E]
+        )  # [rows, 2E]
         k, v = kv[:, :e], kv[:, e:]
         logit = jax.lax.dot(
             k.astype(x_ref.dtype), qmat_ref[...],
             preferred_element_type=jnp.float32,
-        ) * sm_scale  # [BL, H]
+        ) * sm_scale  # [rows, H]
         mn = jnp.maximum(m, logit)
         alpha = jnp.exp(m - mn)
         p = jnp.exp(logit - mn)
-        # per-head broadcast via fp32 selector matmuls (tiny [BL,H]x[H,E]):
+        # per-head broadcast via fp32 selector matmuls (tiny [rows,H]x[H,E]):
         # the rescaling factors compound over dates, so keep them fp32
         ab = jax.lax.dot(alpha, sel, preferred_element_type=jnp.float32)
         pb = jax.lax.dot(p, sel, preferred_element_type=jnp.float32)
@@ -100,17 +107,17 @@ def _fwd_kernel(x_ref, scale_ref, bias_ref, wkv_ref, qmat_ref, s_ref,
 
     # fori_loop (not an unrolled python loop): Mosaic allocates scoped VMEM
     # for every unrolled iteration's temporaries simultaneously — 26 dates
-    # of [BL,2E] fp32 intermediates blew the 16 MB limit 5x over
+    # of [rows,2E] fp32 intermediates blew the 16 MB limit 5x over
     m, den, acc = jax.lax.fori_loop(
         0, d, date_step,
-        (jnp.full((bl, h), -1e30, jnp.float32),
-         jnp.zeros((bl, h), jnp.float32),
-         jnp.zeros((bl, e), jnp.float32)),
+        (jnp.full((rows, h), -1e30, jnp.float32),
+         jnp.zeros((rows, h), jnp.float32),
+         jnp.zeros((rows, e), jnp.float32)),
     )
     db = jax.lax.dot(den, sel, preferred_element_type=jnp.float32)
-    o_ref[0] = (acc / db).astype(o_ref.dtype)
-    m_ref[0] = m
-    den_ref[0] = den
+    o_ref[...] = (acc / db).reshape(nb, bl, e).astype(o_ref.dtype)
+    m_ref[...] = m.reshape(nb, bl, h)
+    den_ref[...] = den.reshape(nb, bl, h)
 
 
 def _bwd_kernel(x_ref, scale_ref, bias_ref, wkv_ref, qmat_ref, s_ref,
@@ -219,14 +226,21 @@ def _fwd_impl(x, ln_scale, ln_bias, w_kv, query, heads, eps, block=None):
     pad = (-l) % bl
     lp = l + pad
     xp = _pad_rows(x, pad)
+    # batch elements per grid cell: fill the MXU's 128-row M dim when the
+    # position block alone can't (seg chunks: l=64); see _fwd_kernel. The
+    # VMEM cost scales with nb*d*bl*e, so nb never exceeds what _FWD_BL
+    # rows allow.
+    nb = min(b, max(1, _FWD_BL // bl))
+    while b % nb:
+        nb -= 1
     qmat, sel = _selectors(query, heads, x.dtype)
     sm_scale = (e // heads) ** -0.5
     kernel = partial(_fwd_kernel, eps=eps, sm_scale=sm_scale)
     out, m, den = pl.pallas_call(
         kernel,
-        grid=(b, lp // bl),
+        grid=(b // nb, lp // bl),
         in_specs=[
-            pl.BlockSpec((1, d, bl, e), lambda i, j: (i, 0, j, 0)),
+            pl.BlockSpec((nb, d, bl, e), lambda i, j: (i, 0, j, 0)),
             pl.BlockSpec((1, e), lambda i, j: (0, 0)),
             pl.BlockSpec((1, e), lambda i, j: (0, 0)),
             pl.BlockSpec((e, 2 * e), lambda i, j: (0, 0)),
@@ -234,9 +248,9 @@ def _fwd_impl(x, ln_scale, ln_bias, w_kv, query, heads, eps, block=None):
             pl.BlockSpec((heads, e), lambda i, j: (0, 0)),
         ],
         out_specs=[
-            pl.BlockSpec((1, bl, e), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, bl, heads), lambda i, j: (i, j, 0)),
-            pl.BlockSpec((1, bl, heads), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((nb, bl, e), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((nb, bl, heads), lambda i, j: (i, j, 0)),
+            pl.BlockSpec((nb, bl, heads), lambda i, j: (i, j, 0)),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((b, lp, e), x.dtype),
@@ -253,6 +267,25 @@ def _fwd_impl(x, ln_scale, ln_bias, w_kv, query, heads, eps, block=None):
 
 def _round_up(n, k):
     return -(-n // k) * k
+
+
+def _pick_dblk(d: int, bl: int) -> tuple[int, int]:
+    """(date-block size, date padding) for the bwd grid.
+
+    Prefer a divisor of d — the XLA-side jnp.pad of x to a dblk multiple is
+    a full extra HBM copy of the input (~6 ms/step across the FLAIR seg
+    chunks, measured r4) — subject to the matmul M dim ``dblk*bl`` landing
+    in [128, 1024]: >=128 fills the MXU's M dimension, <=1024 keeps the
+    fp32 kv/dkv temporaries inside the kernel's VMEM budget.  Falls back to
+    the padded fixed block when d has no usable divisor (e.g. prime d with
+    d*bl too large).
+    """
+    hi = max(1, 1024 // bl)
+    for k in range(min(d, hi), 0, -1):
+        if d % k == 0 and (k * bl >= 128 or k == d):
+            return k, 0
+    k = min(_BWD_DBLK, d)
+    return k, (-d) % k
 
 
 def _params():
@@ -315,7 +348,14 @@ def _bwd_cost(b, d, l, e, h):
 def _vjp_fwd(x, ln_scale, ln_bias, w_kv, query, heads, eps):
     out, m, den = _fwd_impl(x, ln_scale, ln_bias, w_kv, query, heads, eps)
     # out joins the residuals: the bwd derives the softmax pivot from it
-    # (T = per-head <g, out>) instead of re-sweeping the date axis
+    # (T = per-head <g, out>) instead of re-sweeping the date axis.
+    # (out, m, den) are named so a rematerialized caller (the seg head's
+    # chunk scan) can SAVE them across the fwd/bwd split instead of
+    # replaying the whole forward kernel: they are ~L*(E+16) floats per
+    # chunk vs the D*L*E input, and with them saved the recompute pass only
+    # rebuilds x (cheap resize einsum) while the fwd pallas_call is DCE'd —
+    # x itself stays unnamed exactly so it is NOT stored.
+    out, m, den = checkpoint_name((out, m, den), "attn_pool_residuals")
     return out, (x, ln_scale, ln_bias, w_kv, query, m, den, out)
 
 
@@ -325,8 +365,7 @@ def _vjp_bwd(heads, eps, res, g):
     bl = min(_BWD_BL, _round_up(l, 8))
     pad = (-l) % bl
     lp = l + pad
-    dblk = min(_BWD_DBLK, d)
-    dpad = (-d) % dblk
+    dblk, dpad = _pick_dblk(d, bl)
     dp = d + dpad
     xp = _pad_rows(x, pad)
     if dpad:

@@ -87,6 +87,43 @@ def test_grad_parity():
         )
 
 
+@pytest.mark.parametrize(
+    ("d", "l"),
+    [
+        (26, 64),  # FLAIR seg-chunk regime: divisor dblk=13, no date pad
+        (23, 64),  # prime date count: falls back to the padded fixed block
+    ],
+)
+def test_grad_parity_date_blocking(d, l):
+    """_pick_dblk's divisor and pad fallback paths both match reference."""
+    from maestro_tpu.ops.attn_pool import _pick_dblk
+
+    b, e, heads = 1, 256, 8
+    dblk, dpad = _pick_dblk(d, min(attn_pool._BWD_BL, l))
+    assert (dpad == 0) == (d % dblk == 0 and dpad == 0)
+    if d == 26:
+        assert dblk == 13 and dpad == 0
+    if d == 23:
+        assert dpad > 0
+    x, scale, bias, w_kv, query = _make(b, d, l, e, heads, jnp.float32, seed=7)
+    cot = jax.random.normal(jax.random.PRNGKey(4), (b, l, e), jnp.float32)
+
+    def loss(fn):
+        return lambda x, w: jnp.sum(
+            fn(x, scale, bias, w, query, heads) * cot,
+        )
+
+    got = jax.grad(loss(attn_pool.attentive_pool), argnums=(0, 1))(x, w_kv)
+    want = jax.grad(
+        loss(attn_pool.attentive_pool_reference), argnums=(0, 1),
+    )(x, w_kv)
+    for name, gk, gr in zip(("dx", "dw_kv"), got, want):
+        np.testing.assert_allclose(
+            np.asarray(gk, np.float32), np.asarray(gr, np.float32),
+            atol=5e-3, rtol=5e-3, err_msg=name,
+        )
+
+
 def test_grad_parity_padded():
     """L not a multiple of the bwd block exercises the m/den re-padding."""
     b, d, l, e, heads = 1, 4, 72, 128, 4
