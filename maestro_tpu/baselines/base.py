@@ -130,6 +130,20 @@ class BaselineShell(nn.Module):
         the date-stacked ref-grid tensor is never materialized."""
         return self.heads[name](tuple(x[m] for m in self.plan.mods))
 
+    def __call__(self, batch: dict, phase: str = "finetune") -> dict:
+        """Adapters implement ``encode_for_heads``; the head pass is shared.
+
+        The split mirrors MaestroMAE: ``encode_for_heads`` is the (frozen in
+        probe) backbone + date-encoding prefix, ``logits_from_features`` the
+        trainable heads — which lets the probe val feature cache
+        (train/eval_cache.py) skip the backbone on repeat val epochs.
+        """
+        return self.logits_from_features(self.encode_for_heads(batch), phase)
+
+    def logits_from_features(self, feats, phase: str) -> dict:
+        """Heads over precomputed backbone features (see ``__call__``)."""
+        return self.compute_logits(feats, phase, self.heads)
+
     def compute_logits(self, feats: dict, phase: str, heads: dict) -> dict:
         x = self.plan.ungroup(feats)
         x_cat = jnp.concatenate(

@@ -203,7 +203,12 @@ class CromaBaseline(BaselineShell):
             grids = grids + (shared.grid,)
         self.heads = self.make_heads(stream_grids=grids)
 
-    def __call__(self, batch: dict, phase: str = "finetune") -> dict:
+    def encode_for_heads(self, batch: dict) -> tuple:
+        """Backbone features: (per-modality feats dict, joint tokens or None).
+
+        The tuple (a pytree) is what ``logits_from_features`` consumes —
+        CROMA's inter-croma joint stream rides along as the second element.
+        """
         batch = self.resize_and_rescale(batch)
         plan = self.plan
 
@@ -266,6 +271,10 @@ class CromaBaseline(BaselineShell):
                     dtype=feats[name].dtype,
                 )
 
+        return feats, joint
+
+    def logits_from_features(self, fj: tuple, phase: str) -> dict:
+        feats, joint = fj
         return self._logits(feats, joint, phase)
 
     def _seg_logits(self, xs: tuple, name: str) -> jnp.ndarray:

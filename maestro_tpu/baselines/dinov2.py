@@ -81,7 +81,7 @@ class Dinov2Baseline(BaselineShell):
         self._pos_grid = pos_grid
         self._dim = dim
 
-    def __call__(self, batch: dict, phase: str = "finetune") -> dict:
+    def encode_for_heads(self, batch: dict) -> dict:
         from maestro_tpu.baselines.backbone import interpolate_pos_embed
 
         batch = self.resize_and_rescale(batch)
@@ -113,7 +113,7 @@ class Dinov2Baseline(BaselineShell):
 
         if self.add_date_enc:
             feats = self.add_date_encodings(feats, batch)
-        return self.compute_logits(feats, phase, self.heads)
+        return feats
 
 
 class ViTBackboneEncoderOnly(nn.Module):

@@ -173,7 +173,7 @@ class DOFABaseline(BaselineShell):
         self.heads = self.make_heads()
         self._dim = dim
 
-    def __call__(self, batch: dict, phase: str = "finetune") -> dict:
+    def encode_for_heads(self, batch: dict) -> dict:
         batch = self.resize_and_rescale(batch)
         pixels = self.plan.group({name: batch[name] for name in self.plan.mods})
 
@@ -205,7 +205,7 @@ class DOFABaseline(BaselineShell):
 
         if self.add_date_enc:
             feats = self.add_date_encodings(feats, batch)
-        return self.compute_logits(feats, phase, self.heads)
+        return feats
 
 
 def build_dofa(

@@ -77,7 +77,7 @@ class PrithviBaseline(BaselineShell):
             self.final_norm = nn.LayerNorm(dtype=self.dtype)
         self.heads = self.make_heads()
 
-    def __call__(self, batch: dict, phase: str = "finetune") -> dict:
+    def encode_for_heads(self, batch: dict) -> dict:
         batch = self.resize_and_rescale(batch)
         spec = self.plan.mod_specs["s2"]
         x = batch["s2"].astype(self.dtype)  # [B, D, C, H, W]
@@ -117,7 +117,7 @@ class PrithviBaseline(BaselineShell):
             tokens = self.final_norm(tokens)
         tokens = tokens[:, 1:]
 
-        return self.compute_logits({"s2": tokens}, phase, self.heads)
+        return {"s2": tokens}
 
 
 def build_prithvi(

@@ -76,7 +76,7 @@ class SatMAEBaseline(BaselineShell):
             self.final_norm = nn.LayerNorm(dtype=self.dtype)
         self.heads = self.make_heads()
 
-    def __call__(self, batch: dict, phase: str = "finetune") -> dict:
+    def encode_for_heads(self, batch: dict) -> dict:
         batch = self.resize_and_rescale(batch)
         spec = self.plan.mod_specs["s2"]
         x = batch["s2"].astype(self.dtype)  # [B, D, C, H, W]
@@ -116,8 +116,7 @@ class SatMAEBaseline(BaselineShell):
             tokens = self.final_norm(tokens)
         tokens = tokens[:, 1:]
 
-        feats = {"s2": tokens}  # [B, D*L, C] == grouped "mod" layout
-        return self.compute_logits(feats, phase, self.heads)
+        return {"s2": tokens}  # [B, D*L, C] == grouped "mod" layout
 
 
 def build_satmae(

@@ -202,6 +202,11 @@ class TrainerConfig:
     # drop optimizer updates whose gradients contain inf/nan instead of
     # poisoning params/moments (optax.apply_if_finite; production guard)
     skip_nonfinite: bool = False
+    # probe val eval over cached frozen-trunk features: the trunk (frozen in
+    # probe) runs once over the val split, later val epochs are head-only
+    # (train/eval_cache.py; single-process runs only, capped below)
+    probe_eval_cache: bool = True
+    probe_eval_cache_gb: float = 8.0
 
 
 @dataclass

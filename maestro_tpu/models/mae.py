@@ -335,6 +335,28 @@ class MaestroMAE(nn.Module):
         """
         return self.heads[name](tuple(x[m] for m in self.plan.mods))
 
+    def encode_for_heads(self, batch: dict) -> dict[str, jnp.ndarray]:
+        """Frozen-trunk features for the downstream heads (grouped streams).
+
+        Exactly the downstream forward up to (and including)
+        ``encode_streams`` — everything ``compute_logits`` consumes.  In the
+        probe phase this whole prefix is frozen (train/optim.py trains the
+        'head' role only) and val/test loaders never call ``set_epoch``, so
+        these features are constant across epochs: the runtime caches them on
+        the host and re-runs only the heads for later val evals
+        (train/eval_cache.py; reference probe semantics = detached features,
+        head.py:17-25).
+        """
+        batch = self.resize_and_rescale(batch)
+        tokens = self.embed_tokens(batch)
+        streams = self.plan.group(tokens)
+        return self.encode_streams(streams)
+
+    def logits_from_features(self, feats: dict, phase: str) -> dict:
+        """Heads over precomputed trunk features (probe eval cache protocol —
+        the same method name BaselineShell exposes)."""
+        return self.compute_logits(feats, phase)
+
     def compute_logits(self, encoded: dict, phase: str) -> dict[str, jnp.ndarray]:
         """Downstream logits: per-target heads over (resized) token grids."""
         x = self.plan.ungroup(encoded)

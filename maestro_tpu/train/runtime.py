@@ -475,6 +475,31 @@ class Experiment:
                 self.model, phase, use_ema=(phase == "finetune"),
             )
 
+        # probe: trunk features of the (epoch-deterministic) val split are
+        # constant, so cache them and make later val epochs head-only
+        eval_cache = None
+        if (
+            phase == "probe"
+            and cfg.trainer.probe_eval_cache
+            and val_loader is not None
+            and opt.epochs - start_epoch > 1  # a single eval never re-reads
+            and jax.process_count() == 1
+            and hasattr(self.model, "encode_for_heads")
+        ):
+            from maestro_tpu.train.eval_cache import ProbeEvalCache
+            from maestro_tpu.train.steps import (
+                make_feature_step,
+                make_head_eval_step,
+            )
+
+            eval_cache = ProbeEvalCache(
+                feature_step=make_feature_step(self.model),
+                head_step=make_head_eval_step(self.model, phase),
+                label_keys=tuple(hs.name for hs in self.model.head_specs),
+                cap_bytes=int(cfg.trainer.probe_eval_cache_gb * 2**30),
+            )
+        self._last_eval_cache = eval_cache  # observability (tests/debugging)
+
         result = PhaseResult(phase, 0, -1, None)
         best_monitor, best_epoch, best_path, stale = -np.inf, -1, None, 0
         warned_monitor = False
@@ -534,6 +559,7 @@ class Experiment:
             if val_loader is not None:
                 val_logs, val_states = self._run_eval_epoch(
                     phase, state, eval_step, val_loader, rng,
+                    cache=eval_cache,
                 )
 
             epoch_log = {
@@ -755,8 +781,14 @@ class Experiment:
         spec = P(None, batch_axes(self.mesh), *(None,) * (v.ndim - 2))
         return jax.device_put(v, NamedSharding(self.mesh, spec))
 
-    def _run_eval_epoch(self, phase, state, eval_step, loader, rng):
+    def _run_eval_epoch(self, phase, state, eval_step, loader, rng,
+                        cache=None):
         """Returns (metrics dict, raw metric states or None).
+
+        ``cache`` (probe val only): a train.eval_cache.ProbeEvalCache.  On
+        its first pass this loop computes trunk features per batch, runs the
+        heads off them, and stores a host copy; once sealed, later epochs
+        replay the cached features head-only without touching the loader.
 
         Deliberate deviation from the reference: pretrain val masking folds
         the same base ``rng`` by batch index every epoch, so every epoch
@@ -784,10 +816,36 @@ class Experiment:
             return ({"loss_rec": float(np.mean(losses))} if losses else {}), None
 
         metric_states = init_metric_states(self.model.head_specs)
-        for np_batch in loader:
-            batch = self._device_batch(np_batch)
-            metric_states, logs = eval_step(state, batch, metric_states)
-            losses.append(logs["loss_pred"])
+        if cache is not None and cache.ready:
+            # head-only replay: the frozen trunk (and the raster reads
+            # feeding it) are skipped entirely
+            cache.hit_epochs += 1
+            for feats_np, labels_np in cache.entries:
+                feats = shard_batch(
+                    self.mesh, jax.tree.map(jnp.asarray, feats_np),
+                )
+                labels = self._device_batch(labels_np)
+                metric_states, logs = cache.head_step(
+                    state, feats, labels, metric_states,
+                )
+                losses.append(logs["loss_pred"])
+        else:
+            for np_batch in loader:
+                batch = self._device_batch(np_batch)
+                if cache is not None and not cache.disabled:
+                    feats = cache.feature_step(state.params, batch)
+                    labels = {k: batch[k] for k in cache.label_keys}
+                    metric_states, logs = cache.head_step(
+                        state, feats, labels, metric_states,
+                    )
+                    cache.store(
+                        feats, {k: np_batch[k] for k in cache.label_keys},
+                    )
+                else:
+                    metric_states, logs = eval_step(state, batch, metric_states)
+                losses.append(logs["loss_pred"])
+            if cache is not None:
+                cache.seal()
         losses = [float(l) for l in jax.device_get(losses)]
         out: dict[str, Any] = compute_metrics(self.model.head_specs, metric_states)
         out["loss_pred"] = float(np.mean(losses)) if losses else 0.0

@@ -243,6 +243,58 @@ def _build_supervised_eval_step(model, phase, use_ema):
     return step
 
 
+def make_feature_step(model) -> Callable:
+    """Jitted ``(params, batch) -> encoded`` frozen-trunk forward.
+
+    ``encoded`` is the grouped-stream feature dict ``compute_logits``
+    consumes (model.encode_for_heads).  Used by the probe val feature cache
+    (train/eval_cache.py) to compute features once, after which val epochs
+    are head-only.
+    """
+    key = ("features", repr(model))
+    return _memo_step(
+        key, None,
+        lambda: jax.jit(
+            lambda params, batch: model.apply(
+                params, batch, method=type(model).encode_for_heads,
+            ),
+        ),
+    )
+
+
+def make_head_eval_step(model, phase: str) -> Callable:
+    """Eval step over precomputed trunk features: heads + losses + metrics.
+
+    ``(state, encoded, labels, metric_states) -> (metric_states, logs)`` —
+    the head-only counterpart of ``make_supervised_eval_step`` for phases
+    whose trunk is frozen (probe).  ``labels`` carries just the per-target
+    label arrays ``prediction_losses`` reads (batch[hs.name]).
+    """
+    key = ("head_eval", repr(model), phase)
+    head_specs = model.head_specs
+
+    def build() -> Callable:
+        @jax.jit
+        def step(state: TrainState, encoded: dict, labels: dict,
+                 metric_states: dict):
+            logits = model.apply(
+                state.params, encoded, phase,
+                method=type(model).logits_from_features,
+            )
+            loss, aux = prediction_losses(head_specs, labels, logits)
+            new_metrics = {
+                hs.name: M.metric_update(
+                    hs.type_target, metric_states[hs.name], aux[hs.name],
+                )
+                for hs in head_specs
+            }
+            return new_metrics, {"loss_pred": loss}
+
+        return step
+
+    return _memo_step(key, None, build)
+
+
 def init_metric_states(head_specs) -> dict[str, Any]:
     return {
         hs.name: M.metric_init(hs.type_target, hs.num_classes) for hs in head_specs
