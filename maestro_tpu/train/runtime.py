@@ -475,11 +475,15 @@ class Experiment:
                 self.model, phase, use_ema=(phase == "finetune"),
             )
 
-        # probe: trunk features of the (epoch-deterministic) val split are
-        # constant, so cache them and make later val epochs head-only
+        # frozen-trunk phases (probe; baseline finetune with freeze=True):
+        # val features of the (epoch-deterministic) val split are constant,
+        # so cache them and make later val epochs head-only.  A frozen
+        # trunk's EMA equals its params, so the finetune EMA eval stays
+        # valid off the cached features.
         eval_cache = None
         if (
-            phase == "probe"
+            freeze_phase == "probe"
+            and phase != "pretrain"
             and cfg.trainer.probe_eval_cache
             and val_loader is not None
             and opt.epochs - start_epoch > 1  # a single eval never re-reads
@@ -494,7 +498,9 @@ class Experiment:
 
             eval_cache = ProbeEvalCache(
                 feature_step=make_feature_step(self.model),
-                head_step=make_head_eval_step(self.model, phase),
+                head_step=make_head_eval_step(
+                    self.model, phase, use_ema=(phase == "finetune"),
+                ),
                 label_keys=tuple(hs.name for hs in self.model.head_specs),
                 cap_bytes=int(cfg.trainer.probe_eval_cache_gb * 2**30),
             )

@@ -262,23 +262,32 @@ def make_feature_step(model) -> Callable:
     )
 
 
-def make_head_eval_step(model, phase: str) -> Callable:
+def make_head_eval_step(model, phase: str, use_ema: bool = False) -> Callable:
     """Eval step over precomputed trunk features: heads + losses + metrics.
 
     ``(state, encoded, labels, metric_states) -> (metric_states, logs)`` —
     the head-only counterpart of ``make_supervised_eval_step`` for phases
-    whose trunk is frozen (probe).  ``labels`` carries just the per-target
-    label arrays ``prediction_losses`` reads (batch[hs.name]).
+    whose trunk is frozen (probe, or a freeze=True baseline finetune).
+    ``labels`` carries just the per-target label arrays
+    ``prediction_losses`` reads (batch[hs.name]).  ``use_ema`` mirrors the
+    plain eval step's finetune choice; a frozen trunk's EMA equals its
+    params (the update is a fixed point there), so cached features remain
+    valid either way.
     """
-    key = ("head_eval", repr(model), phase)
+    key = ("head_eval", repr(model), phase, use_ema)
     head_specs = model.head_specs
 
     def build() -> Callable:
         @jax.jit
         def step(state: TrainState, encoded: dict, labels: dict,
                  metric_states: dict):
+            params = (
+                state.ema_params
+                if (use_ema and state.ema_params is not None)
+                else state.params
+            )
             logits = model.apply(
-                state.params, encoded, phase,
+                params, encoded, phase,
                 method=type(model).logits_from_features,
             )
             loss, aux = prediction_losses(head_specs, labels, logits)

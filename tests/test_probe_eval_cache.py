@@ -195,6 +195,50 @@ def test_cache_on_baseline_adapter(treesat_root, tmp_path):
                 )
 
 
+def test_cache_on_frozen_baseline_finetune(treesat_root, tmp_path):
+    """freeze=True baseline finetune: trunk frozen, EMA head eval, cached."""
+    from maestro_tpu.conf import ModelConfig
+
+    def run(name, cache):
+        datasets = DatasetsConfig(root_dir=str(treesat_root),
+                                  name_dataset="treesatai_ts")
+        ds = datasets.treesatai_ts
+        ds.rel_dir = ""
+        for m in ("s2", "s1_asc", "s1_des"):
+            getattr(ds, m).image_size = 28
+        ds.aerial.image_size = 224
+        ds.__post_init__()
+        cfg = _probe_cfg(tmp_path, name, cache=cache, epochs=2)
+        cfg.model = ModelConfig(model="dinov2", model_size="micro",
+                                fusion_mode="shared", use_ema=True,
+                                freeze=True)
+        from maestro_tpu.conf import OptFinetuneConfig
+
+        opt = OptFinetuneConfig(epochs=2, batch_size=2)
+        exp = Experiment(cfg, datasets, tmp_path / name)
+        data = TreeSatAITSDataset(datasets.dataset, treesat_root, "train",
+                                  ssl_phase="finetune")
+        train = EOBatchLoader(Subset(data, 4), batch_size=2, num_workers=2,
+                              seed=0)
+        val = CountingLoader(
+            EOBatchLoader(Subset(data, 4), batch_size=2, num_workers=2,
+                          seed=0),
+        )
+        result = exp.fit_phase("finetune", opt, train, val, None)
+        return result, val, exp._last_eval_cache
+
+    res_c, val_c, cache = run("frozen_cached", True)
+    res_u, val_u, _ = run("frozen_uncached", False)
+    assert cache is not None and cache.ready and cache.hit_epochs == 1
+    assert val_c.iterations == 1 and val_u.iterations == 2
+    for ec, eu in zip(res_c.history, res_u.history):
+        for k, v in eu.items():
+            if k.startswith("val/"):
+                np.testing.assert_allclose(
+                    ec[k], v, rtol=1e-3, atol=1e-5, err_msg=k,
+                )
+
+
 def test_cache_cap_disables_and_falls_back(treesat_root, tmp_path):
     datasets = DatasetsConfig(root_dir=str(treesat_root),
                               name_dataset="treesatai_ts")
