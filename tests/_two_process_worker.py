@@ -78,8 +78,15 @@ def main() -> None:
         mask=MaskConfig(),
         model=ModelConfig(model_size="micro", fusion_mode="group",
                           inter_depth=1, use_ema=False),
+        # probe_eval_cache off: the cache is single-process-only, so the
+        # n=1 reference run would otherwise eval epoch 1 through the
+        # (numerically reassociated) head-only path while n=2 cannot —
+        # the tiny fixture's AP histogram then flips a bin (~0.03).  This
+        # test is about the multi-host machinery, so pin both runs to the
+        # full eval path.
         trainer=TrainerConfig(mesh_data=8, mesh_model=1,
-                              compute_dtype="float32"),
+                              compute_dtype="float32",
+                              probe_eval_cache=False),
     )
     results = run_experiment(cfg, datasets, Path(args.workdir) / "work")
 
