@@ -236,6 +236,27 @@ def test_cache_on_frozen_baseline_finetune(treesat_root, tmp_path):
                 _assert_metric_close(k, ec[k], v)
 
 
+def test_no_cache_when_trunk_trains(treesat_root, tmp_path):
+    """MAE finetune updates the trunk every step: the gate must stay off."""
+    from maestro_tpu.conf import OptFinetuneConfig
+
+    datasets = DatasetsConfig(root_dir=str(treesat_root),
+                              name_dataset="treesatai_ts")
+    datasets.treesatai_ts.rel_dir = ""
+    cfg = _probe_cfg(tmp_path, "ft_nocache", cache=True, epochs=2)
+    exp = Experiment(cfg, datasets, tmp_path / "ft_nocache")
+    ds = TreeSatAITSDataset(datasets.dataset, treesat_root, "train",
+                            ssl_phase="finetune")
+    train = EOBatchLoader(Subset(ds, 4), batch_size=2, num_workers=2, seed=0)
+    val = CountingLoader(
+        EOBatchLoader(Subset(ds, 4), batch_size=2, num_workers=2, seed=0),
+    )
+    exp.fit_phase("finetune", OptFinetuneConfig(epochs=2, batch_size=2),
+                  train, val, None)
+    assert exp._last_eval_cache is None
+    assert val.iterations == 2
+
+
 def test_cache_cap_disables_and_falls_back(treesat_root, tmp_path):
     datasets = DatasetsConfig(root_dir=str(treesat_root),
                               name_dataset="treesatai_ts")
