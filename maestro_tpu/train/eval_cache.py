@@ -18,9 +18,13 @@ Guard rails:
 - single-process only (the runtime gates on ``jax.process_count() == 1``):
   a multi-host val batch is not fully addressable, so a host copy would
   need a cross-host gather this cache does not attempt;
-- probe only: finetune updates the trunk every step, so its features are
-  never reusable.  (Reference probe semantics — detached frozen features —
-  are head.py:17-25; the reference recomputes them every epoch.)
+- frozen-trunk phases only: probe, and a ``model.freeze=True`` baseline
+  finetune (there the EMA trunk is a fixed point of the EMA update, so the
+  finetune EMA eval stays valid off cached features).  An unfrozen finetune
+  updates the trunk every step, so its features are never reusable — the
+  runtime gate keys off the optimizer's ``freeze_phase``.  (Reference probe
+  semantics — detached frozen features — are head.py:17-25; the reference
+  recomputes them every epoch.)
 """
 
 from __future__ import annotations

@@ -482,8 +482,7 @@ class Experiment:
         # valid off the cached features.
         eval_cache = None
         if (
-            freeze_phase == "probe"
-            and phase != "pretrain"
+            freeze_phase == "probe"  # probe, or freeze=True baseline finetune
             and cfg.trainer.probe_eval_cache
             and val_loader is not None
             and opt.epochs - start_epoch > 1  # a single eval never re-reads
@@ -791,7 +790,7 @@ class Experiment:
                         cache=None):
         """Returns (metrics dict, raw metric states or None).
 
-        ``cache`` (probe val only): a train.eval_cache.ProbeEvalCache.  On
+        ``cache`` (frozen-trunk val only): a train.eval_cache.ProbeEvalCache.  On
         its first pass this loop computes trunk features per batch, runs the
         heads off them, and stores a host copy; once sealed, later epochs
         replay the cached features head-only without touching the loader.

@@ -115,6 +115,34 @@ def _run_probe(root, tmp_path, name, dataset_cls, ds_name, *, cache,
     return result, val, exp._last_eval_cache
 
 
+def _baseline_setup(treesat_root, tmp_path, name, *, cache, epochs=2,
+                    use_ema=False, freeze=False):
+    """dinov2-micro Experiment + fixture loaders shared by the baseline tests."""
+    from maestro_tpu.conf import ModelConfig
+
+    datasets = DatasetsConfig(root_dir=str(treesat_root),
+                              name_dataset="treesatai_ts")
+    ds = datasets.treesatai_ts
+    ds.rel_dir = ""
+    for m in ("s2", "s1_asc", "s1_des"):
+        getattr(ds, m).image_size = 28
+    ds.aerial.image_size = 224
+    ds.__post_init__()
+    cfg = _probe_cfg(tmp_path, name, cache=cache, epochs=epochs)
+    cfg.model = ModelConfig(model="dinov2", model_size="micro",
+                            fusion_mode="shared", use_ema=use_ema,
+                            freeze=freeze)
+    exp = Experiment(cfg, datasets, tmp_path / name)
+    data = TreeSatAITSDataset(datasets.dataset, treesat_root, "train",
+                              ssl_phase="finetune" if freeze else "probe")
+    train = EOBatchLoader(Subset(data, 4), batch_size=2, num_workers=2,
+                          seed=0)
+    val = CountingLoader(
+        EOBatchLoader(Subset(data, 4), batch_size=2, num_workers=2, seed=0),
+    )
+    return cfg, exp, train, val
+
+
 def test_cache_skips_loader_and_matches_uncached(treesat_root, tmp_path):
     res_c, val_c, cache = _run_probe(
         treesat_root, tmp_path, "cached", TreeSatAITSDataset, "treesatai_ts",
@@ -158,28 +186,10 @@ def test_cache_through_chunked_seg_head(pastis_root, tmp_path):
 
 def test_cache_on_baseline_adapter(treesat_root, tmp_path):
     """BaselineShell adapters share the encode/heads split: dinov2 probe."""
-    from maestro_tpu.conf import ModelConfig
 
     def run(name, cache):
-        datasets = DatasetsConfig(root_dir=str(treesat_root),
-                                  name_dataset="treesatai_ts")
-        ds = datasets.treesatai_ts
-        ds.rel_dir = ""
-        for m in ("s2", "s1_asc", "s1_des"):
-            getattr(ds, m).image_size = 28
-        ds.aerial.image_size = 224
-        ds.__post_init__()
-        cfg = _probe_cfg(tmp_path, name, cache=cache, epochs=2)
-        cfg.model = ModelConfig(model="dinov2", model_size="micro",
-                                fusion_mode="shared", use_ema=False)
-        exp = Experiment(cfg, datasets, tmp_path / name)
-        data = TreeSatAITSDataset(datasets.dataset, treesat_root, "train",
-                                  ssl_phase="probe")
-        train = EOBatchLoader(Subset(data, 4), batch_size=2, num_workers=2,
-                              seed=0)
-        val = CountingLoader(
-            EOBatchLoader(Subset(data, 4), batch_size=2, num_workers=2,
-                          seed=0),
+        cfg, exp, train, val = _baseline_setup(
+            treesat_root, tmp_path, name, cache=cache,
         )
         result = exp.fit_phase("probe", cfg.opt_probe, train, val, None)
         return result, val, exp._last_eval_cache
@@ -196,34 +206,17 @@ def test_cache_on_baseline_adapter(treesat_root, tmp_path):
 
 def test_cache_on_frozen_baseline_finetune(treesat_root, tmp_path):
     """freeze=True baseline finetune: trunk frozen, EMA head eval, cached."""
-    from maestro_tpu.conf import ModelConfig
+    from maestro_tpu.conf import OptFinetuneConfig
 
     def run(name, cache):
-        datasets = DatasetsConfig(root_dir=str(treesat_root),
-                                  name_dataset="treesatai_ts")
-        ds = datasets.treesatai_ts
-        ds.rel_dir = ""
-        for m in ("s2", "s1_asc", "s1_des"):
-            getattr(ds, m).image_size = 28
-        ds.aerial.image_size = 224
-        ds.__post_init__()
-        cfg = _probe_cfg(tmp_path, name, cache=cache, epochs=2)
-        cfg.model = ModelConfig(model="dinov2", model_size="micro",
-                                fusion_mode="shared", use_ema=True,
-                                freeze=True)
-        from maestro_tpu.conf import OptFinetuneConfig
-
-        opt = OptFinetuneConfig(epochs=2, batch_size=2)
-        exp = Experiment(cfg, datasets, tmp_path / name)
-        data = TreeSatAITSDataset(datasets.dataset, treesat_root, "train",
-                                  ssl_phase="finetune")
-        train = EOBatchLoader(Subset(data, 4), batch_size=2, num_workers=2,
-                              seed=0)
-        val = CountingLoader(
-            EOBatchLoader(Subset(data, 4), batch_size=2, num_workers=2,
-                          seed=0),
+        _, exp, train, val = _baseline_setup(
+            treesat_root, tmp_path, name, cache=cache, use_ema=True,
+            freeze=True,
         )
-        result = exp.fit_phase("finetune", opt, train, val, None)
+        result = exp.fit_phase(
+            "finetune", OptFinetuneConfig(epochs=2, batch_size=2),
+            train, val, None,
+        )
         return result, val, exp._last_eval_cache
 
     res_c, val_c, cache = run("frozen_cached", True)
