@@ -203,10 +203,13 @@ class TrainerConfig:
     # poisoning params/moments (optax.apply_if_finite; production guard)
     skip_nonfinite: bool = False
     # probe val eval over cached frozen-trunk features: the trunk (frozen in
-    # probe) runs once over the val split, later val epochs are head-only
-    # (train/eval_cache.py; single-process runs only, capped below)
+    # probe / freeze=True baseline finetune) runs once over the val split,
+    # later val epochs are head-only (train/eval_cache.py; single-process
+    # runs only).  The first _device_gb stay resident in HBM (zero-copy
+    # replay); the rest spills to host RAM up to the total _gb cap.
     probe_eval_cache: bool = True
     probe_eval_cache_gb: float = 8.0
+    probe_eval_cache_device_gb: float = 2.0
 
 
 @dataclass

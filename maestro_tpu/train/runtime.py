@@ -502,6 +502,9 @@ class Experiment:
                 ),
                 label_keys=tuple(hs.name for hs in self.model.head_specs),
                 cap_bytes=int(cfg.trainer.probe_eval_cache_gb * 2**30),
+                device_cap_bytes=int(
+                    cfg.trainer.probe_eval_cache_device_gb * 2**30,
+                ),
             )
         self._last_eval_cache = eval_cache  # observability (tests/debugging)
 
@@ -823,13 +826,16 @@ class Experiment:
         metric_states = init_metric_states(self.model.head_specs)
         if cache is not None and cache.ready:
             # head-only replay: the frozen trunk (and the raster reads
-            # feeding it) are skipped entirely
+            # feeding it) are skipped entirely.  HBM-resident entries are
+            # used as-is (zero transfer); host-spilled ones are put back.
             cache.hit_epochs += 1
-            for feats_np, labels_np in cache.entries:
-                feats = shard_batch(
-                    self.mesh, jax.tree.map(jnp.asarray, feats_np),
-                )
-                labels = self._device_batch(labels_np)
+            for entry in cache.entries:
+                feats = entry.feats
+                if not entry.on_device:
+                    feats = shard_batch(
+                        self.mesh, jax.tree.map(jnp.asarray, feats),
+                    )
+                labels = self._device_batch(entry.labels)
                 metric_states, logs = cache.head_step(
                     state, feats, labels, metric_states,
                 )

@@ -157,6 +157,9 @@ def test_cache_skips_loader_and_matches_uncached(treesat_root, tmp_path):
     assert cache is not None and cache.ready and not cache.disabled
     assert cache.hit_epochs == 2          # epochs 1..2 replayed head-only
     assert len(cache.entries) == len(val_c)
+    # micro features fit far under the 2 GiB device budget: zero-copy tier
+    assert all(e.on_device for e in cache.entries)
+    assert cache.device_nbytes > 0
     assert val_c.iterations == 1          # loader touched on epoch 0 only
     assert val_u.iterations == 3
 
@@ -227,6 +230,30 @@ def test_cache_on_frozen_baseline_finetune(treesat_root, tmp_path):
         for k, v in eu.items():
             if k.startswith("val/"):
                 _assert_metric_close(k, ec[k], v)
+
+
+def test_host_spill_tier(treesat_root, tmp_path):
+    """device budget 0 forces the host tier; replay still skips the loader."""
+    datasets = DatasetsConfig(root_dir=str(treesat_root),
+                              name_dataset="treesatai_ts")
+    datasets.treesatai_ts.rel_dir = ""
+    cfg = _probe_cfg(tmp_path, "spill", cache=True, epochs=2)
+    cfg.trainer.probe_eval_cache_device_gb = 0.0
+    exp = Experiment(cfg, datasets, tmp_path / "spill")
+    ds = TreeSatAITSDataset(datasets.dataset, treesat_root, "train",
+                            ssl_phase="probe")
+    train = EOBatchLoader(Subset(ds, 4), batch_size=2, num_workers=2, seed=0)
+    val = CountingLoader(
+        EOBatchLoader(Subset(ds, 4), batch_size=2, num_workers=2, seed=0),
+    )
+    result = exp.fit_phase("probe", cfg.opt_probe, train, val, None)
+
+    cache = exp._last_eval_cache
+    assert cache is not None and cache.ready and cache.hit_epochs == 1
+    assert cache.entries and all(not e.on_device for e in cache.entries)
+    assert cache.device_nbytes == 0
+    assert val.iterations == 1
+    assert all(np.isfinite(v) for v in result.val_metrics.values())
 
 
 def test_no_cache_when_trunk_trains(treesat_root, tmp_path):
