@@ -34,13 +34,9 @@ import os
 if os.environ.get("MAESTRO_TEST_NO_COMPILE_CACHE", "0").lower() not in (
     "1", "true", "yes",
 ):
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.environ.get(
-            "MAESTRO_JAX_CACHE_DIR",
-            os.path.expanduser("~/.cache/maestro_tpu_jax"),
-        ),
-    )
+    from maestro_tpu.utils.cache import jax_cache_dir
+
+    jax.config.update("jax_compilation_cache_dir", jax_cache_dir())
 
 PHASE = os.environ.get("BENCH_PHASE", "pretrain")  # pretrain|probe|finetune
 # finetune runs full-length streams: bs32 + remat=mlp is its measured v5e

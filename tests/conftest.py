@@ -87,11 +87,10 @@ if os.environ.get("MAESTRO_TEST_NO_COMPILE_CACHE", "0").lower() not in (
     "1", "true", "yes",
 ):
     # user-scoped default (not world-writable /tmp); MAESTRO_JAX_CACHE_DIR
-    # overrides — same resolution as __graft_entry__.dryrun_multichip
-    jax.config.update(
-        "jax_compilation_cache_dir",
-        os.environ.get(
-            "MAESTRO_JAX_CACHE_DIR",
-            os.path.expanduser("~/.cache/maestro_tpu_jax"),
-        ),
-    )
+    # overrides the base — same resolution as __graft_entry__ / bench.py.
+    # The per-CPU-fingerprint subdirectory guards against loading AOT
+    # executables compiled by a different host microarch, which aborts the
+    # process (maestro_tpu/utils/cache.py).
+    from maestro_tpu.utils.cache import jax_cache_dir
+
+    jax.config.update("jax_compilation_cache_dir", jax_cache_dir())
