@@ -2,13 +2,19 @@
 
 In the probe phase the entire trunk — patch embeds, per-group encoders and
 the shared inter trunk — is frozen (train/optim.py trains the 'head' role
-only) and val loaders never advance their epoch rng (train/runtime.py calls
-``set_epoch`` on the train loader only), so the trunk features of every val
-batch are identical across epochs.  The first val eval therefore computes
-them once through ``make_feature_step``; every later val eval re-runs only
-the heads via ``make_head_eval_step`` — the trunk forward, and the raster
-reads behind it, are skipped entirely (measured 4.5x per val batch on a
-v5e: scripts/bench_eval_cache.py).
+only) and the runtime PINS val/test loaders to epoch 0
+(``Experiment._run_eval_epoch`` calls ``set_epoch(0)`` before every eval
+pass — without the pin, loaders auto-advance their epoch, which reshuffles
+the drop_last remainder and re-rolls the per-(seed, epoch, idx) date-window
+offsets, so val batches would NOT be epoch-constant).  With the pin, the
+trunk features of every val batch are identical across epochs.  The first
+val eval therefore computes them once through ``make_feature_step``; every
+later val eval re-runs only the heads via ``make_head_eval_step`` — the
+trunk forward, and the raster reads behind it, are skipped entirely
+(measured 4.5x per val batch on a v5e: scripts/bench_eval_cache.py).
+``verify_replay`` backstops the invariance assumption at runtime: on the
+first replay epoch it recomputes batch 0's features through the real
+loader and disables the cache (falling back to full eval) on mismatch.
 
 Two storage tiers, because device<->host bandwidth is the whole game:
 
@@ -49,6 +55,31 @@ import jax
 import numpy as np
 
 log = logging.getLogger(__name__)
+
+
+def clamp_device_cap(cap_bytes: int) -> int:
+    """Clamp the HBM-resident tier to at most half the currently-free HBM.
+
+    ``trainer.probe_eval_cache_device_gb`` is a static config; on a tightly
+    packed chip (large batch, no remat) the full 2 GiB default could OOM a
+    phase that previously fit.  Training activations are not resident at
+    cache-construction time, so only half of the free headroom is claimed;
+    batches past the clamped tier spill to host, which is always correct.
+    Backends without memory_stats (CPU tests) keep the configured cap.
+    """
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        free = int(stats["bytes_limit"]) - int(stats["bytes_in_use"])
+    except Exception:  # noqa: BLE001 - stats are best-effort per backend
+        return cap_bytes
+    clamped = max(0, min(cap_bytes, free // 2))
+    if clamped < cap_bytes:
+        log.info(
+            "val feature cache: device tier clamped %.2f -> %.2f GiB "
+            "(half of free HBM); overflow spills to host",
+            cap_bytes / 2**30, clamped / 2**30,
+        )
+    return clamped
 
 
 @dataclass
@@ -120,3 +151,48 @@ class ProbeEvalCache:
                     self.device_nbytes / 2**30, spilled,
                     self.nbytes / 2**30,
                 )
+
+    def verify_replay(self, params, loader, device_batch_fn) -> bool:
+        """One-shot invariance guard, run before the FIRST cached replay.
+
+        Recomputes the features of the val loader's batch 0 and compares
+        them to the cached entry.  The runtime pins the loader to epoch 0,
+        so a mismatch means the premise is broken anyway (a wrapper that
+        drops ``set_epoch``, or sample randomness outside the epoch rng) —
+        the cache is disabled and later epochs fall back to full eval.
+        Cost: one batch read + one feature pass, once per phase.
+        """
+        if self.disabled or not self.ready or not self.entries:
+            return not self.disabled
+        np_batch = next(iter(loader), None)
+        if np_batch is None:  # empty loader: nothing to compare
+            return True
+        fresh = self.feature_step(params, device_batch_fn(np_batch))
+        cached = self.entries[0].feats
+        fresh_h = jax.device_get(fresh)
+        cached_h = (
+            jax.device_get(cached) if self.entries[0].on_device else cached
+        )
+        flat_f, flat_c = jax.tree.leaves(fresh_h), jax.tree.leaves(cached_h)
+        ok = len(flat_f) == len(flat_c) and all(
+            a.shape == b.shape
+            # identical params + identical batch through the same jitted fn
+            # reproduce bitwise on one device; the loose band only absorbs
+            # nondeterministic reductions on exotic backends
+            and np.allclose(
+                np.asarray(a, np.float32), np.asarray(b, np.float32),
+                rtol=1e-3, atol=1e-4,
+            )
+            for a, b in zip(flat_f, flat_c)
+        )
+        if not ok:
+            self.disabled = True
+            self.ready = False
+            self.entries.clear()
+            self.device_nbytes = 0
+            log.warning(
+                "val feature cache replay guard: batch-0 features changed "
+                "between epochs (val stream is not epoch-invariant here) - "
+                "cache disabled, falling back to full per-epoch eval",
+            )
+        return ok

@@ -476,10 +476,12 @@ class Experiment:
             )
 
         # frozen-trunk phases (probe; baseline finetune with freeze=True):
-        # val features of the (epoch-deterministic) val split are constant,
-        # so cache them and make later val epochs head-only.  A frozen
-        # trunk's EMA equals its params, so the finetune EMA eval stays
-        # valid off the cached features.
+        # _run_eval_epoch pins the val loader to epoch 0, so the val batch
+        # stream is identical every epoch and the frozen trunk's features of
+        # it are constant — cache them and make later val epochs head-only.
+        # A frozen trunk's EMA equals its params, so the finetune EMA eval
+        # stays valid off the cached features.  A first-replay guard
+        # (recompute batch 0, compare) backstops the invariance assumption.
         eval_cache = None
         if (
             freeze_phase == "probe"  # probe, or freeze=True baseline finetune
@@ -489,7 +491,10 @@ class Experiment:
             and jax.process_count() == 1
             and hasattr(self.model, "encode_for_heads")
         ):
-            from maestro_tpu.train.eval_cache import ProbeEvalCache
+            from maestro_tpu.train.eval_cache import (
+                ProbeEvalCache,
+                clamp_device_cap,
+            )
             from maestro_tpu.train.steps import (
                 make_feature_step,
                 make_head_eval_step,
@@ -502,8 +507,8 @@ class Experiment:
                 ),
                 label_keys=tuple(hs.name for hs in self.model.head_specs),
                 cap_bytes=int(cfg.trainer.probe_eval_cache_gb * 2**30),
-                device_cap_bytes=int(
-                    cfg.trainer.probe_eval_cache_device_gb * 2**30,
+                device_cap_bytes=clamp_device_cap(
+                    int(cfg.trainer.probe_eval_cache_device_gb * 2**30),
                 ),
             )
         self._last_eval_cache = eval_cache  # observability (tests/debugging)
@@ -797,15 +802,33 @@ class Experiment:
         its first pass this loop computes trunk features per batch, runs the
         heads off them, and stores a host copy; once sealed, later epochs
         replay the cached features head-only without touching the loader.
+        On the FIRST replay the guard recomputes batch 0's features through
+        the loader and compares them to the cached entry — a mismatch (the
+        val stream was not epoch-invariant after all) disables the cache
+        with a warning and falls back to full per-epoch eval.
 
-        Deliberate deviation from the reference: pretrain val masking folds
-        the same base ``rng`` by batch index every epoch, so every epoch
-        evaluates the same mask draw.  The reference's Lightning loop
-        advances its generator across epochs, making val loss a noisier
-        monitor; a fixed draw makes epoch-over-epoch val deltas attributable
-        to the model, not the mask lottery.  Set a per-epoch rng at the call
-        site to recover reference behavior.
+        Deliberate deviations from the reference (docs/PARITY.md):
+
+        - pretrain val masking folds the same base ``rng`` by batch index
+          every epoch, so every epoch evaluates the same mask draw.  The
+          reference's Lightning loop advances its generator across epochs,
+          making val loss a noisier monitor; a fixed draw makes
+          epoch-over-epoch val deltas attributable to the model, not the
+          mask lottery.  Set a per-epoch rng at the call site to recover
+          reference behavior.
+        - val/test loaders are PINNED to epoch 0 here, so every eval pass
+          draws the identical batch stream: same shuffle order, same
+          drop_last remainder, same per-sample date-window offsets
+          (datasets.py ``t0`` is drawn from the per-(seed, epoch, idx) rng
+          even with random_dates=False).  The reference re-rolls all of
+          these per epoch via its global torch RNG (dataset/dataset.py's
+          per-worker seeding advances every epoch), adding sampling
+          variance to the monitoring signal.  The pin removes that noise
+          AND is what makes the frozen-trunk feature cache exactly
+          semantics-preserving rather than an approximation.
         """
+        if hasattr(loader, "set_epoch"):
+            loader.set_epoch(0)  # epoch-invariant eval stream (see above)
         # device scalars are collected and fetched once after the loop:
         # float()-ing them per step would block the async dispatch pipeline
         losses = []
@@ -824,6 +847,12 @@ class Experiment:
             return ({"loss_rec": float(np.mean(losses))} if losses else {}), None
 
         metric_states = init_metric_states(self.model.head_specs)
+        if cache is not None and cache.ready and cache.hit_epochs == 0:
+            # first replay only: one extra batch read + feature pass that
+            # backstops the epoch-invariance premise independently of the
+            # set_epoch pin above (a custom loader without set_epoch, or a
+            # dataset with epoch-external randomness, would trip it)
+            cache.verify_replay(state.params, loader, self._device_batch)
         if cache is not None and cache.ready:
             # head-only replay: the frozen trunk (and the raster reads
             # feeding it) are skipped entirely.  HBM-resident entries are
