@@ -189,8 +189,17 @@ def main() -> None:
             new_state, _, logs = _sup(state, b, metric_states)
             return new_state, {"loss_rec": logs["loss_pred"]}
 
+        from maestro_tpu.utils.flops import scan_flops_correction
+
         lowered = sup.lower(state, batches[0], metric_states).compile()
-        flops_per_step = lowered.cost_analysis().get("flops", 0.0)
+        # cost_analysis counts a lax.scan body once, not x trip count — the
+        # chunked seg head (and any multi-dispatch) would vanish from the
+        # executed count (r4 VERDICT Weak #2); add the jaxpr-derived delta
+        scan_corr = scan_flops_correction(sup, state, batches[0],
+                                          metric_states)
+        flops_per_step = (
+            lowered.cost_analysis().get("flops", 0.0) + scan_corr
+        )
         for i in range(WARMUP_STEPS):
             state, logs = step(state, batches[i % 2], key)
         jax.block_until_ready(state.params)
@@ -217,6 +226,7 @@ def main() -> None:
                 "mfu_executed": round(mfu_exec, 4),
                 "flops_per_step_model": model_flops,
                 "flops_per_step_executed": flops_per_step,
+                "flops_scan_correction": scan_corr,
                 "batch_size": BATCH_SIZE,
                 "device": str(jax.devices()[0]),
                 "loss_pred": float(logs["loss_rec"]),
@@ -246,14 +256,21 @@ def main() -> None:
     else:
         jittable = step
 
-    # compile + FLOP count
+    # compile + FLOP count (scan-corrected: under steps_per_dispatch>1 the
+    # K-step scan body is counted once by cost_analysis — the correction
+    # restores the other K-1 before dividing back to per-step)
     try:
+        from maestro_tpu.utils.flops import scan_flops_correction
+
         lowered = jittable.lower(state, batches[0], key).compile()
+        scan_corr = scan_flops_correction(jittable, state, batches[0], key)
         flops_per_step = (
-            lowered.cost_analysis().get("flops", 0.0) / STEPS_PER_DISPATCH
+            (lowered.cost_analysis().get("flops", 0.0) + scan_corr)
+            / STEPS_PER_DISPATCH
         )
     except Exception:
         flops_per_step = 0.0
+        scan_corr = 0.0
 
     for i in range(WARMUP_STEPS):
         state, logs = step(state, batches[i % 2], key)
@@ -285,6 +302,7 @@ def main() -> None:
             "mfu_executed": round(mfu_exec, 4),
             "flops_per_step_model": model_flops,
             "flops_per_step_executed": flops_per_step,
+            "flops_scan_correction": scan_corr,
             "batch_size": BATCH_SIZE,
             "remat": str(REMAT),
             "steps_per_dispatch": STEPS_PER_DISPATCH,

@@ -12,11 +12,121 @@ Conventions (standard transformer accounting, e.g. the PaLM appendix):
   dense [m, k] @ [k, n]          -> 2*m*k*n
   attention scores + mix         -> 2*l*l*inner each, per sample
   backward                       -> 2x forward for every matmul
-  frozen submodules (probe)      -> forward only (1x)
+  frozen submodules (probe)      -> forward only (1x); the first matmul
+  touching stop_gradient'ed features additionally skips its dL/dx (2x),
+  and parameterless ops on frozen input (the seg resize) are forward-only
 Elementwise ops, norms, softmax and the loss are excluded (<1% of a ViT).
+
+This module also provides ``scan_flops_correction``: XLA's
+``Compiled.cost_analysis()`` counts a ``lax.scan`` body ONCE, not x trip
+count (verified with a 16-trip scan reporting 1/16 of the executed
+matmul flops), so any scan-chunked graph — the ChunkedSegHead, K-step
+multi-dispatch — is silently undercounted.  The correction walks the
+step's jaxpr, counts matmul/conv/Pallas-kernel flops with scan bodies
+multiplied by their static trip count, and returns the difference vs the
+counted-once view; ``bench.py`` adds it to XLA's number.
 """
 
 from __future__ import annotations
+
+import math
+
+import jax
+
+
+# -- jaxpr-level executed-flops correction for scans ----------------------
+def _dot_general_eqn_flops(eqn) -> float:
+    lhs = eqn.invars[0].aval.shape
+    rhs = eqn.invars[1].aval.shape
+    (lc, rc), (lb, rb) = eqn.params["dimension_numbers"]
+    batch = math.prod(lhs[i] for i in lb)
+    k = math.prod(lhs[i] for i in lc)
+    m = math.prod(
+        lhs[i] for i in range(len(lhs)) if i not in set(lc) | set(lb)
+    )
+    n = math.prod(
+        rhs[i] for i in range(len(rhs)) if i not in set(rc) | set(rb)
+    )
+    return 2.0 * batch * m * n * k
+
+
+def _conv_eqn_flops(eqn) -> float:
+    out = eqn.outvars[0].aval.shape
+    rhs = eqn.invars[1].aval.shape
+    spec = eqn.params["dimension_numbers"].rhs_spec  # (out_c, in_c, *spatial)
+    in_ch = rhs[spec[1]]  # already per feature group
+    spatial = math.prod(rhs[i] for i in spec[2:])
+    return 2.0 * math.prod(out) * in_ch * spatial
+
+
+def _sub_jaxprs(value):
+    """Yield every ClosedJaxpr inside a single eqn param value."""
+    if hasattr(value, "jaxpr"):
+        yield value
+    elif isinstance(value, (list, tuple)):
+        for v in value:
+            yield from _sub_jaxprs(v)
+
+
+def _walk_jaxpr(jaxpr) -> tuple[float, float]:
+    """(executed, counted_once) matmul/kernel flops of a jaxpr.
+
+    ``executed`` multiplies every scan body by its static trip count;
+    ``counted_once`` models XLA cost_analysis, which visits a while-loop
+    body once.  pjit/remat/custom-vjp bodies are inlined by XLA, so both
+    views recurse through them identically; cond takes the widest branch;
+    a raw ``lax.while_loop`` has no static trip count, so its body counts
+    once in both views (none appear outside scan in this codebase).
+    """
+    exe = once = 0.0
+    for eqn in jaxpr.eqns:
+        name = eqn.primitive.name
+        if name == "dot_general":
+            f = _dot_general_eqn_flops(eqn)
+            exe += f
+            once += f
+        elif name.startswith("conv_general"):
+            f = _conv_eqn_flops(eqn)
+            exe += f
+            once += f
+        elif name == "pallas_call":
+            ce = eqn.params.get("cost_estimate")
+            f = float(getattr(ce, "flops", 0) or 0)
+            exe += f
+            once += f
+        elif name == "scan":
+            length = int(eqn.params["length"])
+            be, bo = _walk_jaxpr(eqn.params["jaxpr"].jaxpr)
+            exe += length * be
+            once += bo
+        elif name == "cond":
+            walked = [
+                _walk_jaxpr(b.jaxpr) for b in eqn.params["branches"]
+            ]
+            exe += max(w[0] for w in walked)
+            once += max(w[1] for w in walked)
+        else:
+            for value in eqn.params.values():
+                for cj in _sub_jaxprs(value):
+                    be, bo = _walk_jaxpr(cj.jaxpr)
+                    exe += be
+                    once += bo
+    return exe, once
+
+
+def scan_flops_correction(fn, *args, **kwargs) -> float:
+    """Matmul/kernel flops MISSING from XLA's cost_analysis for ``fn``.
+
+    Equals sum over every scan (at any nesting depth, forward and the
+    autodiff-generated reverse scan alike) of (trip_count - 1) x its
+    body's matmul/conv/Pallas flops.  Add this to
+    ``Compiled.cost_analysis()["flops"]`` for an executed count that no
+    longer vanishes scan-chunked work (r4 VERDICT Weak #2: the 16-chunk
+    ChunkedSegHead made probe read 33% "executed" vs 47% model MFU).
+    """
+    jpr = jax.make_jaxpr(fn)(*args, **kwargs)
+    exe, once = _walk_jaxpr(jpr.jaxpr)
+    return exe - once
 
 
 def _block_flops(l: float, e: int, inner: int, mlp_dim: int) -> float:
@@ -81,14 +191,25 @@ def _decoder_flops(plan, arch, batch: int) -> float:
 
 
 def _heads_flops(plan, arch, head_specs, ref_input: str | None,
-                 batch: int) -> float:
+                 batch: int, phase: str) -> float:
     """Classification (attentive pool over all tokens) + segmentation
     (per-modality resize to ref grid, date-axis attentive reduce, pixel
-    projection) — matmul terms only."""
+    projection) — matmul terms only, TOTAL (fwd + required bwd).
+
+    Heads always train, but in probe their INPUT is ``stop_gradient``-ed
+    (heads.py call sites), so the dL/dx path below the first parameterized
+    op is dead: the matmul that touches the frozen features pays fwd +
+    dL/dW only (2x), and the parameterless resize — which would only ever
+    back-propagate INTO the frozen features — pays forward only (1x).
+    Everything downstream of a trained parameter pays the full 3x.
+    (r4 VERDICT Weak #6: counting a blanket 3x padded probe MFU up.)
+    """
     e = arch.embed_dim
     total_tokens = sum(
         s.seq_len * s.batch_factor for s in plan.streams.values()
     )
+    first = 2.0 if phase == "probe" else 3.0  # first matmul on frozen input
+    noparam = 1.0 if phase == "probe" else 3.0  # parameterless on frozen in
     f = 0.0
     for hs in head_specs:
         if hs.type_target == "segment":
@@ -105,14 +226,18 @@ def _heads_flops(plan, arch, head_specs, ref_input: str | None,
                 g = spec.grid
                 big = int(ref_l**0.5)
                 d = spec.num_dates * spec.len_bands
-                f += 2.0 * batch * d * e * (big * g * g + big * big * g)
+                f += noparam * 2.0 * batch * d * e * (
+                    big * g * g + big * big * g
+                )
             # attentive date-reduce at the ref grid: LN + kv proj dominate
-            f += 2.0 * batch * dates_total * ref_l * e * (2 * e)
-            f += 2.0 * batch * ref_l * e * hs.num_classes * hs.pixel_patch**2
+            f += first * 2.0 * batch * dates_total * ref_l * e * (2 * e)
+            f += 3.0 * 2.0 * batch * ref_l * e * (
+                hs.num_classes * hs.pixel_patch**2
+            )
         else:
             # attentive pool over the concatenated token set + linear
-            f += 2.0 * batch * total_tokens * e * (2 * e)
-            f += 2.0 * batch * e * hs.num_classes
+            f += first * 2.0 * batch * total_tokens * e * (2 * e)
+            f += 3.0 * 2.0 * batch * e * hs.num_classes
     return f
 
 
@@ -124,7 +249,8 @@ def mae_model_flops(plan, arch, inter_depth: int, phase: str,
               everything trained -> 3x forward.
     finetune: embed + full-length encoder/trunk + heads, all trained -> 3x.
     probe:    encoder side is frozen (stop_gradient) -> forward only;
-              heads train -> 3x.
+              heads train, but their dL/dx path into the frozen features
+              is dead -> per-term 1x/2x/3x (see _heads_flops).
     """
     embed = _embed_flops(plan, arch.embed_dim, batch_size)
     if phase == "pretrain":
@@ -136,7 +262,8 @@ def mae_model_flops(plan, arch, inter_depth: int, phase: str,
         return 3.0 * fwd
     enc = embed + _encoder_flops(plan, arch, inter_depth, batch_size,
                                  masked=False)
-    heads = _heads_flops(plan, arch, head_specs, ref_input, batch_size)
+    heads = _heads_flops(plan, arch, head_specs, ref_input, batch_size,
+                         phase)
     if phase == "probe":
-        return enc + 3.0 * heads
-    return 3.0 * (enc + heads)
+        return enc + heads
+    return 3.0 * enc + heads
