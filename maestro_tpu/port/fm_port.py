@@ -47,14 +47,31 @@ def map_timm_blocks(src: dict, depth: int, prefix: str = "blocks.") -> dict:
     }
 
 
-def port_satmae(src: dict[str, np.ndarray], depth: int) -> dict:
+SATMAE_ORIG_BANDS = (0, 1, 2)  # S2 bands in the release (satmae.py:23)
+
+
+def port_satmae(src: dict[str, np.ndarray], depth: int,
+                bands: tuple[int, ...] | None = None, std: float = 0.01,
+                seed: int = 0) -> dict:
     """SatMAE MaskedAutoencoderViT encoder -> SatMAEBaseline params.
 
     Reference layout: baselines/satmae.py:252-330 (patch_embed.proj conv,
-    cls_token, timm blocks, final norm).
+    cls_token, timm blocks, final norm).  The release patchifies 3 channels
+    (ORIG_BANDS); when the dataset uses more S2 bands, the reference pads
+    the kernel with N(0, 0.01) and keeps the pretrained slices at the
+    bands' dataset positions (satmae.py:172-189) — replicated here when the
+    channel counts differ (a same-width source is used as-is, which equals
+    the surgery when bands == ORIG_BANDS).
     """
-    conv = src["patch_embed.proj.weight"]  # [E, C, p, p]
-    e = conv.shape[0]
+    conv = src["patch_embed.proj.weight"]  # [E, C_src, p, p]
+    e, c_src, p, _ = conv.shape
+    if bands is not None and len(bands) != c_src:
+        rng = np.random.default_rng(seed)
+        full = rng.normal(0.0, std, (e, len(bands), p, p)).astype(conv.dtype)
+        orig_idx = [i for i, b in enumerate(SATMAE_ORIG_BANDS) if b in bands]
+        new_idx = [list(bands).index(SATMAE_ORIG_BANDS[i]) for i in orig_idx]
+        full[:, new_idx] = conv[:, orig_idx]
+        conv = full
     params = {
         "patch_proj": {
             # SatMAE patchifies as flattened (C, ph, pw) like ours

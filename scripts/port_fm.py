@@ -67,7 +67,12 @@ def port_fm_params(model_name: str, src: dict, model, datasets) -> dict:
         from maestro_tpu.baselines.satmae import SATMAE_ARCHS
 
         depth = SATMAE_ARCHS[model.backbone_size][1]
-        return fm_port.port_satmae(src, depth)
+        bands = datasets.dataset.inputs["s2"].bands
+        band_idx = (
+            tuple(range(bands)) if isinstance(bands, int)
+            else tuple(i for grp in bands for i in grp)
+        )
+        return fm_port.port_satmae(src, depth, band_idx)
     if model_name == "prithvi":
         from maestro_tpu.baselines.prithvi import PRITHVI_ARCHS
 
@@ -117,6 +122,13 @@ def main(argv: list[str] | None = None) -> None:
         "--allow-missing", action="store_true",
         help="tolerate backbone leaves that kept fresh init (default: error)",
     )
+    ap.add_argument(
+        "--manifest", default="auto",
+        help="release key-manifest to verify coverage against: a name from "
+             "maestro_tpu.port.manifests.ALL_MANIFESTS, 'auto' (pick by "
+             "model+size; skip with a warning if none registered), or "
+             "'none' to disable the check",
+    )
     ap.add_argument("overrides", nargs="*",
                     help="main.py-style group.field=value overrides")
     args = ap.parse_args(argv)
@@ -154,8 +166,43 @@ def main(argv: list[str] | None = None) -> None:
     )
     template = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), template)
 
+    from maestro_tpu.port import manifests as mf
+
     src = load_fm_checkpoint(args.ckpt, cfg.model.model)
-    ported = port_fm_params(cfg.model.model, src, model, datasets)
+    recorder = mf.RecordingDict(src)
+    ported = port_fm_params(cfg.model.model, recorder, model, datasets)
+
+    # released-checkpoint contract: every source key consumed or explicitly
+    # skip-listed, every key the port reads present, shapes as transcribed
+    # (r4 VERDICT item 4 — day one on real files is a checksum, not a
+    # debugging session)
+    manifest_name = args.manifest
+    renamed_sat_dump = cfg.model.model == "dinov2" and any(
+        k.startswith("backbone.") for k in src
+    )
+    if manifest_name == "auto":
+        manifest_name = mf.DEFAULT_FOR.get(
+            (cfg.model.model, cfg.model.model_size), "none",
+        )
+        if manifest_name == "none":
+            print(f"no release manifest registered for "
+                  f"({cfg.model.model}, {cfg.model.model_size}); "
+                  "coverage check skipped")
+        if renamed_sat_dump:
+            # the raw backbone.* sat dump was renamed in-place before the
+            # port ran; its key space no longer matches the HF manifest
+            manifest_name = "none"
+            print("dinov2 'sat' backbone.* dump detected; HF manifest "
+                  "does not apply, coverage check skipped")
+    if manifest_name != "none":
+        manifest = mf.ALL_MANIFESTS[manifest_name]()
+        try:
+            mf.verify_coverage(manifest, src, recorder.accessed)
+        except mf.CoverageError as e:
+            raise SystemExit(str(e)) from None
+        print(f"manifest {manifest_name}: all {len(manifest['keys'])} "
+              "release keys consumed or skip-listed, shapes match")
+
     merged, used, missing = merge_into_template(ported, template)
     heads_fresh = [m for m in missing if "heads_" in m]
     backbone_fresh = [m for m in missing if "heads_" not in m]
