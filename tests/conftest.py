@@ -36,6 +36,11 @@ def _clear_jax_caches_between_modules():
     runs, while any ~half-suite subset passes.  Clearing jit caches between
     modules keeps the live-executable population bounded; within-module
     sharing (fixtures, the train/steps memo) is unaffected.
+
+    Upstream-ready issue text + a standalone minimized-repro candidate live
+    in scripts/repro_xla_cpu_segfault.py (the candidate does NOT reproduce
+    at 300 synthetic executables — the full suite with this fixture
+    disabled remains the authoritative repro).
     """
     yield
     jax.clear_caches()
