@@ -187,6 +187,13 @@ class TrainerConfig:
     # compute dtype for matmuls/activations; params and opt state stay fp32
     # (multi-host process count is discovered via jax.process_count())
     compute_dtype: str = "bfloat16"
+    # dtype float image streams are STAGED to the device in: "auto" casts
+    # fp32 rasters to bfloat16 whenever compute_dtype is bfloat16 (halves
+    # host->device transfer and removes the in-step fp32->bf16 cast; the
+    # reference's 16-mixed autocast consumes inputs in half precision the
+    # same way) | "float32" keeps the raw stream.  Integer arrays (labels,
+    # date indices) are never touched.
+    input_dtype: str = "auto"
     # remat (activation checkpointing) policy for transformer blocks:
     # false | true/"full" | "dots" (save matmul outputs) | "mlp" (MLPs only)
     remat: bool | str = False

@@ -376,16 +376,42 @@ class Experiment:
                      "init)", self._warm_start, len(unmatched))
         return fresh
 
+    def _stage_dtype(self, v):
+        """Cast one host array to its staging dtype (trainer.input_dtype).
+
+        "auto" engages bf16 staging for SUPERVISED phases only: there the
+        float streams are images feeding a bf16 trunk (labels are integer),
+        so staging in bf16 just moves the in-step cast to the host and
+        halves the transfer — the reference's 16-mixed autocast consumes
+        them in half precision the same way.  Pretrain inputs double as the
+        reconstruction TARGETS (patch-group-norm statistics), so "auto"
+        leaves them fp32; "bfloat16" forces the cast everywhere.
+        """
+        cfg = self.cfg.trainer
+        bf16 = cfg.input_dtype == "bfloat16" or (
+            cfg.input_dtype == "auto"
+            and cfg.compute_dtype == "bfloat16"
+            and getattr(self, "_staging_phase", None) in ("probe", "finetune")
+        )
+        if bf16 and v.dtype == np.float32:
+            return v.astype(jnp.bfloat16)
+        return v
+
     def _device_batch(self, np_batch: dict) -> dict:
         if jax.process_count() > 1:
             # each host loaded a disjoint slice of the global batch; assemble
             # the global sharded arrays from the process-local data
+            np_batch = {k: self._stage_dtype(np.asarray(v))
+                        for k, v in np_batch.items()}
             shardings = batch_shardings(self.mesh, np_batch)
             return {
                 k: jax.make_array_from_process_local_data(shardings[k], v)
                 for k, v in np_batch.items()
             }
-        batch = {k: jnp.asarray(v) for k, v in np_batch.items()}
+        batch = {
+            k: jnp.asarray(self._stage_dtype(np.asarray(v)))
+            for k, v in np_batch.items()
+        }
         return shard_batch(self.mesh, batch)
 
     # ------------------------------------------------------------------
@@ -401,6 +427,7 @@ class Experiment:
         """Train one phase; returns metrics history and best checkpoint info."""
         cfg = self.cfg
         seed = cfg.run.seed
+        self._staging_phase = phase  # input_dtype="auto" keys off the phase
         monitor = getattr(opt, "monitor", None)
         patience = getattr(opt, "patience", None)
 

@@ -69,6 +69,24 @@ def build():
         lambda b: model.init({"params": key, "mask": key}, b, "pretrain"),
     )(batches[0])
     opt = OptPretrainConfig(batch_size=BS)
+    phase = os.environ.get("BENCH_PHASE", "pretrain")
+    if phase != "pretrain":
+        # supervised step (probe/finetune): aux arg is the metric states
+        from maestro_tpu.train import metrics as M
+        from maestro_tpu.train.steps import make_supervised_step
+
+        sup_params = jax.jit(
+            lambda b: model.init({"params": key, "mask": key}, b, phase),
+        )(batches[0])
+        params = {"params": {**sup_params["params"], **params["params"]}}
+        tx = make_optimizer(opt, phase, total_steps=1000, params=params)
+        state = TrainState.create(params, tx)
+        step = make_supervised_step(model, phase, tx, donate=True)
+        aux = {
+            hs.name: M.metric_init(hs.type_target, hs.num_classes)
+            for hs in model.head_specs
+        }
+        return step, state, batches, aux
     tx = make_optimizer(opt, "pretrain", total_steps=1000, params=params)
     state = TrainState.create(params, tx)
     step = make_pretrain_step(model, plan, tx, "l1_norm", donate=True)
@@ -81,13 +99,14 @@ def _free(tree) -> None:
             leaf.delete()
 
 
-def time_compiled(compiled, state, batches, key) -> float:
+def time_compiled(compiled, state, batches, aux) -> float:
+    # pretrain steps return (state, logs); supervised (state, metrics, logs)
     for i in range(WARMUP):
-        state, _ = compiled(state, batches[i % 2], key)
+        state = compiled(state, batches[i % 2], aux)[0]
     jax.block_until_ready(state.params)
     t0 = time.perf_counter()
     for i in range(STEPS):
-        state, _ = compiled(state, batches[i % 2], key)
+        state = compiled(state, batches[i % 2], aux)[0]
     jax.block_until_ready(state.params)
     dt = (time.perf_counter() - t0) / STEPS
     _free(state)  # HBM: only one state copy may live across variants
