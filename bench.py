@@ -39,15 +39,21 @@ if os.environ.get("MAESTRO_TEST_NO_COMPILE_CACHE", "0").lower() not in (
     jax.config.update("jax_compilation_cache_dir", jax_cache_dir())
 
 PHASE = os.environ.get("BENCH_PHASE", "pretrain")  # pretrain|probe|finetune
-# finetune runs full-length streams: bs32 + remat=mlp is its measured v5e
-# ceiling (docs/PERFORMANCE.md); bs48 no-remat is the pretrain sweet spot
-_DEF_BS, _DEF_REMAT = (32, "mlp") if PHASE == "finetune" else (48, "false")
+# finetune runs full-length streams: the r5 sweep moved its v5e ceiling to
+# bs32 + NO remat + seg chunk 4 + bf16-staged inputs (513 -> 506 ms; the r4
+# bs32+remat=mlp recipe is strictly dominated — docs/PERFORMANCE.md);
+# bs48 no-remat is the pretrain sweet spot
+_DEF_BS, _DEF_REMAT = (32, "false") if PHASE == "finetune" else (48, "false")
 BATCH_SIZE = int(os.environ.get("BENCH_BS", _DEF_BS))
 MODEL_SIZE = os.environ.get("BENCH_SIZE", "medium")  # tiny|small|medium|large
 _VIT_TAGS = {"tiny": "vitt", "small": "vits", "medium": "vitb", "large": "vitl"}
 VIT_TAG = _VIT_TAGS.get(MODEL_SIZE, MODEL_SIZE)
 REMAT = os.environ.get("BENCH_REMAT", _DEF_REMAT)  # false|full|dots|mlp|gelu
 REMAT = False if REMAT.lower() == "false" else REMAT
+# supervised phases stage float inputs bf16 by default, matching the
+# runtime's trainer.input_dtype="auto" (pretrain inputs are loss targets)
+_DEF_IN = "bfloat16" if PHASE in ("probe", "finetune") else "float32"
+_DEF_CHUNK = 4 if PHASE == "finetune" else 2
 STEPS_PER_DISPATCH = int(os.environ.get("BENCH_SPD", 1))
 DATASET = os.environ.get("BENCH_DATASET", "flair")  # flair|treesatai_ts|pastis_hd|s2_naip
 WARMUP_STEPS = 3
@@ -127,7 +133,8 @@ def main() -> None:
     model, plan = build_model(
         datasets, MaskConfig(),
         ModelConfig(model_size=MODEL_SIZE, fusion_mode="group", inter_depth=3,
-                    seg_chunk_rows=int(os.environ.get("BENCH_SEG_CHUNK", 2))),
+                    seg_chunk_rows=int(
+                        os.environ.get("BENCH_SEG_CHUNK", _DEF_CHUNK))),
         remat=REMAT,
     )
     # strict model FLOPs: matmuls only, unpadded lengths, bwd = 2x fwd, no
@@ -143,7 +150,7 @@ def main() -> None:
     # repeated executions with identical buffers, which fakes step times
     # host-staged input dtype: bf16 image streams remove the in-step
     # fp32->bf16 staging copies (and halve the host->device transfer)
-    in_dtype = os.environ.get("BENCH_INPUT_DTYPE", "float32")
+    in_dtype = os.environ.get("BENCH_INPUT_DTYPE", _DEF_IN)
 
     def _stage(v):
         arr = jnp.asarray(v)
