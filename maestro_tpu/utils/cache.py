@@ -23,7 +23,15 @@ import platform
 
 
 def _cpu_fingerprint() -> str:
-    """Stable 8-hex tag of this host's CPU feature set."""
+    """Stable 8-hex tag of this host's CPU feature set + XLA build.
+
+    The jax/jaxlib versions are part of the key because XLA:CPU embeds
+    compiler PSEUDO-features (``+prefer-no-scatter``/``+prefer-no-gather``)
+    in its AOT artifacts that change with the jaxlib build, not the
+    hardware — an artifact written by one build logs cpu_aot_loader
+    mismatch errors (and can abort) under another even on the identical
+    CPU, which /proc/cpuinfo flags alone cannot separate.
+    """
     flags = ""
     try:
         with open("/proc/cpuinfo") as f:
@@ -36,6 +44,13 @@ def _cpu_fingerprint() -> str:
         pass
     if not flags:  # non-procfs platforms: coarser but still separating
         flags = f"{platform.machine()} {platform.processor()}"
+    try:
+        import jax
+        import jaxlib
+
+        flags += f" jax={jax.__version__} jaxlib={jaxlib.__version__}"
+    except Exception:  # noqa: BLE001 - version probe is best-effort
+        pass
     return hashlib.sha1(flags.encode()).hexdigest()[:8]
 
 

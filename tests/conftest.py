@@ -41,9 +41,21 @@ def _clear_jax_caches_between_modules():
     in scripts/repro_xla_cpu_segfault.py (the candidate does NOT reproduce
     at 300 synthetic executables — the full suite with this fixture
     disabled remains the authoritative repro).
+
+    r5: the suite's growth moved the failure into RUNTIME (an abort inside
+    the multislice-FSDP step's execution once enough earlier modules had
+    run, while the module passes solo), so the clear now also runs a GC
+    pass — ``jax.clear_caches()`` only drops the cache references; orphaned
+    executables and their host buffers linger until collection — and fires
+    BEFORE each module as well as after.
     """
+    import gc
+
+    jax.clear_caches()
+    gc.collect()
     yield
     jax.clear_caches()
+    gc.collect()
 
 
 @pytest.fixture(scope="session")
