@@ -58,6 +58,10 @@ def test_predict_cli_treesat(tmp_path, tmp_path_factory):
         "model.model_size=micro", "model.fusion_mode=group",
         "model.inter_depth=1", "trainer.compute_dtype=float32",
         f"run.load_ckpt_path={ck}",
+        # pin the in-process thread loader: data.loader=auto resolves to the
+        # grain MULTIPROCESS pipeline on the core-starved CI host, and
+        # spawning+pickling its workers dominated this test (163s -> ~30s)
+        "data.loader=threads", "data.num_workers=2",
         "--split=test", "--batch-size=2", "--probs",
     ])
     manifest = json.loads((out / "manifest.json").read_text())

@@ -84,7 +84,10 @@ def test_cp_trunk_matches_dense_trunk(mesh8):
     ds.treesatai_ts.aerial.image_size = 40
     ds.treesatai_ts.aerial.patch_size.mae = 8
     ds.treesatai_ts.__post_init__()
-    cfg = ModelConfig(model_size="micro", fusion_mode="group", inter_depth=2)
+    # one trunk layer: the CP machinery under test (ring attention + LN/MLP
+    # inside the shard_map region, fwd + grads) is per-layer; depth 2 only
+    # repeated it and doubled the 8-way shard_map grad compile (~50s of CI)
+    cfg = ModelConfig(model_size="micro", fusion_mode="group", inter_depth=1)
     model, plan = build_model(ds, MaskConfig(), cfg, dtype=jnp.float32)
     batch = {
         k: jnp.asarray(v)
