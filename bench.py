@@ -54,6 +54,7 @@ REMAT = False if REMAT.lower() == "false" else REMAT
 # runtime's trainer.input_dtype="auto" (pretrain inputs are loss targets)
 _DEF_IN = "bfloat16" if PHASE in ("probe", "finetune") else "float32"
 _DEF_CHUNK = 4 if PHASE == "finetune" else 2
+_DEF_UNROLL = 1  # seg-head scan unroll; phase defaults updated from sweeps
 STEPS_PER_DISPATCH = int(os.environ.get("BENCH_SPD", 1))
 DATASET = os.environ.get("BENCH_DATASET", "flair")  # flair|treesatai_ts|pastis_hd|s2_naip
 WARMUP_STEPS = 3
@@ -134,7 +135,9 @@ def main() -> None:
         datasets, MaskConfig(),
         ModelConfig(model_size=MODEL_SIZE, fusion_mode="group", inter_depth=3,
                     seg_chunk_rows=int(
-                        os.environ.get("BENCH_SEG_CHUNK", _DEF_CHUNK))),
+                        os.environ.get("BENCH_SEG_CHUNK", _DEF_CHUNK)),
+                    seg_unroll=int(
+                        os.environ.get("BENCH_SEG_UNROLL", _DEF_UNROLL))),
         remat=REMAT,
     )
     # strict model FLOPs: matmuls only, unpadded lengths, bwd = 2x fwd, no

@@ -67,6 +67,7 @@ class BaselineShell(nn.Module):
     fac_date_enc: float = 1.0
     date_dim: int = 8
     seg_chunk_rows: int = 2
+    seg_unroll: int = 1
     dtype: Dtype = jnp.bfloat16
 
     def make_heads(
@@ -89,6 +90,7 @@ class BaselineShell(nn.Module):
                     ref_grid=self.plan.mod_specs[self.ref_input].grid,
                     mod_grids=stream_grids,
                     chunk_rows=self.seg_chunk_rows,
+                    unroll=self.seg_unroll,
                     dtype=self.dtype,
                 )
             else:

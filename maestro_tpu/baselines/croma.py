@@ -327,6 +327,7 @@ def build_croma(
         type_head=cfg.type_head,
         interpolate=cfg.interpolate,
         seg_chunk_rows=cfg.seg_chunk_rows,
+        seg_unroll=cfg.seg_unroll,
         ref_input=datasets.dataset.ref_input,
         add_date_enc=cfg.add_date_enc,
         backbone_size=cfg.model_size,

@@ -144,6 +144,9 @@ class ModelConfig:
     # ref-grid rows per segmentation-head scan chunk (speed/HBM tradeoff:
     # larger chunks mean fewer, bigger MXU ops but more live memory per chunk)
     seg_chunk_rows: int = 2
+    # unroll factor for that scan (1 = plain loop; >1 trades compile time
+    # for per-iteration loop overhead, see models/heads.py)
+    seg_unroll: int = 1
     # baseline adapter options
     freeze: bool = False
     weight_source: str = "imagenat"
@@ -170,6 +173,7 @@ class BaselineConfig:
     use_ema: bool = True
     version: str | None = None
     seg_chunk_rows: int = 2  # see ModelConfig.seg_chunk_rows
+    seg_unroll: int = 1  # see ModelConfig.seg_unroll
 
 
 @dataclass

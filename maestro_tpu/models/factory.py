@@ -44,6 +44,7 @@ def build_experiment_model(datasets, cfg: ExperimentConfig, dtype=None):
             use_ema=cfg.model.use_ema,
             version=cfg.model.version,
             seg_chunk_rows=cfg.model.seg_chunk_rows,
+            seg_unroll=cfg.model.seg_unroll,
         )
         model = build_baseline(datasets, bcfg, dtype=dtype)
         return model, model.plan, True

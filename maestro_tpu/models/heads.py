@@ -77,6 +77,10 @@ class ChunkedSegHead(nn.Module):
     mod_grids: tuple[int, ...]  # native token grid per modality (plan order)
     heads: int = 8
     chunk_rows: int = 2  # ref-grid rows per scan step
+    # lax.scan unroll factor for the chunk loop: >1 replicates the (remat'd)
+    # body in the compiled graph, trading compile time + a little HBM for
+    # the per-iteration loop/dispatch overhead and cross-chunk overlap
+    unroll: int = 1
     dtype: Dtype = jnp.bfloat16
 
     def setup(self) -> None:
@@ -156,6 +160,7 @@ class ChunkedSegHead(nn.Module):
                 variable_broadcast="params",
                 split_rngs={"params": False},
                 in_axes=(0, nn.broadcast), out_axes=0,
+                unroll=self.unroll if n % self.unroll == 0 else 1,
             )
             _, ys = scan(self, None, a_stacks, xs)  # [n, B, K, r*p, W]
             b, k, w = ys.shape[1], ys.shape[2], ys.shape[4]

@@ -125,6 +125,7 @@ class MaestroMAE(nn.Module):
     fac_date_enc: float = 1.0
     date_dim: int = 8
     seg_chunk_rows: int = 2
+    seg_unroll: int = 1
     dtype: Dtype = jnp.bfloat16
     remat: Any = False  # False | True/"full" | "dots" | "mlp" (models/vit.py)
 
@@ -238,6 +239,7 @@ class MaestroMAE(nn.Module):
                         plan.mod_specs[m].grid for m in plan.mods
                     ),
                     chunk_rows=self.seg_chunk_rows,
+                    unroll=self.seg_unroll,
                     dtype=self.dtype,
                 )
             else:

@@ -92,3 +92,44 @@ def test_chunked_seg_head_matches_pixelify_path():
         np.asarray(jax.jit(chunked_m.apply)(pm, xs)),
         np.asarray(jax.jit(ref_m.apply)(pm, x_ref)), atol=1e-4,
     )
+
+
+def test_chunked_seg_head_unroll_invariant():
+    """scan unroll is a pure scheduling knob: outputs and grads match
+    unroll=1 bitwise-shape-wise and numerically to fp32 tolerance; a
+    non-divisor unroll silently falls back to the plain loop."""
+    from maestro_tpu.models.heads import ChunkedSegHead
+
+    ref_grid, patch, k, c = 8, 4, 7, 32
+    mod_grids = (8, 4)
+    xs = tuple(
+        jax.random.normal(jax.random.fold_in(jax.random.PRNGKey(0), i),
+                          (2, dg, g * g, c), jnp.float32)
+        for i, (g, dg) in enumerate(zip(mod_grids, (3, 5)))
+    )
+
+    def build(unroll):
+        return ChunkedSegHead(
+            type_head="attentive", dim=c, num_classes=k, patch_size=patch,
+            ref_grid=ref_grid, mod_grids=mod_grids, chunk_rows=2,
+            unroll=unroll, dtype=jnp.float32,
+        )
+
+    params = build(1).init(jax.random.PRNGKey(1), xs)
+    want = jax.jit(build(1).apply)(params, xs)
+    g_ref = jax.jit(
+        jax.grad(lambda p: jnp.sum(build(1).apply(p, xs) ** 2)))(params)
+    for unroll in (2, 4, 3):  # 3 does not divide n=4 -> fallback path
+        got = jax.jit(build(unroll).apply)(params, xs)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=1e-5)
+        g = jax.jit(
+            jax.grad(lambda p: jnp.sum(build(unroll).apply(p, xs) ** 2)),
+        )(params)
+        for (ka, a), (_, bb) in zip(
+            jax.tree_util.tree_flatten_with_path(g_ref)[0],
+            jax.tree_util.tree_flatten_with_path(g)[0],
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(bb), atol=1e-4,
+                err_msg=f"unroll={unroll} {jax.tree_util.keystr(ka)}")
