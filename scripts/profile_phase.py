@@ -31,7 +31,8 @@ sys.path.insert(0, ".")
 PHASE = sys.argv[1] if len(sys.argv) > 1 else "finetune"
 BS = int(sys.argv[2]) if len(sys.argv) > 2 else 32
 DATASET = os.environ.get("BENCH_DATASET", "flair")
-REMAT = os.environ.get("BENCH_REMAT", "mlp" if PHASE == "finetune" else "false")
+# r5 finetune recipe is no-remat (bs32 fits; remat=mlp cost its own time back)
+REMAT = os.environ.get("BENCH_REMAT", "false")
 REMAT = False if REMAT.lower() == "false" else REMAT
 TRACE_STEPS = 4
 LOGDIR = os.environ.get("PROFILE_DIR", f"/tmp/prof_{PHASE}_bs{BS}")
@@ -56,11 +57,24 @@ def build_step():
         datasets, MaskConfig(),
         ModelConfig(model_size=os.environ.get("BENCH_SIZE", "medium"),
                     fusion_mode="group", inter_depth=3,
-                    seg_chunk_rows=int(os.environ.get("BENCH_SEG_CHUNK", 2))),
+                    seg_chunk_rows=int(os.environ.get(
+                        "BENCH_SEG_CHUNK", 4 if PHASE == "finetune" else 2)),
+                    seg_unroll=int(os.environ.get("BENCH_SEG_UNROLL", 1))),
         remat=REMAT,
     )
+    # match bench.py's supervised-phase default: bf16-staged image streams
+    in_dtype = os.environ.get(
+        "BENCH_INPUT_DTYPE",
+        "bfloat16" if PHASE in ("probe", "finetune") else "float32")
+
+    def _stage(v):
+        arr = jnp.asarray(v)
+        if in_dtype == "bfloat16" and arr.dtype == jnp.float32:
+            arr = arr.astype(jnp.bfloat16)
+        return jax.device_put(arr)
+
     batches = [
-        {k: jax.device_put(jnp.asarray(v))
+        {k: _stage(v)
          for k, v in make_synthetic_batch(datasets.dataset, BS, seed=s).items()}
         for s in (0, 1)
     ]
